@@ -1,0 +1,117 @@
+"""Compiled Kuka iiwa14 model: static arrays describing the kinematic chain.
+
+This is the TPU-native replacement for runtime URDF parsing
+(`/root/reference/pybullet_multigoal_gym/robots/robot_bases.py:62-84`): the
+model is compiled offline into plain constants that live in the jit program.
+Numbers come from
+`/root/reference/pybullet_multigoal_gym/assets/robots/kuka/iiwa14_parallel_jaw.urdf`
+(joints at lines 94-455) and the Robotiq variant where noted.
+
+Frames (all relative to the world; the robot base is fixed at the origin via
+the `plane_iiwa_joint`, URDF line 61-65):
+
+  world -> link0 -> [j1..j7 revolute about local z] -> link7
+  link7 -> gripper_tip   (fixed, +0.12 z,  URDF:311-315)
+  link7 -> hand_cam      (fixed, +0.20 x,  URDF:332-336)
+  link7 -> gripper_base  (fixed, +0.055 z, URDF:394-398)
+  gripper_base -> finger1 (prismatic, origin (0, 0.04, 0.04), axis (0,-1,0))
+  gripper_base -> finger2 (prismatic, origin (0,-0.04, 0.04), axis (0, 1,0))
+  finger_i -> finger_tab_i (fixed, -/+0.005 y)
+"""
+
+import numpy as np
+
+PI = np.pi
+HALF_PI = np.pi / 2.0
+
+# Per-joint parent-frame origins: xyz and rpy (URDF extrinsic XYZ euler).
+# iiwa14_parallel_jaw.urdf:94-285.
+JOINT_ORIGIN_XYZ = np.array([
+    [0.0, 0.0, 0.1575],      # iiwa_joint_1
+    [0.0, 0.0, 0.2025],      # iiwa_joint_2
+    [0.0, 0.2045, 0.0],      # iiwa_joint_3
+    [0.0, 0.0, 0.2155],      # iiwa_joint_4
+    [0.0, 0.1845, 0.0],      # iiwa_joint_5
+    [0.0, 0.0, 0.2155],      # iiwa_joint_6
+    [0.0, 0.081, 0.0],       # iiwa_joint_7
+], dtype=np.float64)
+
+JOINT_ORIGIN_RPY = np.array([
+    [0.0, 0.0, 0.0],
+    [HALF_PI, 0.0, PI],
+    [HALF_PI, 0.0, PI],
+    [HALF_PI, 0.0, 0.0],
+    [-HALF_PI, PI, 0.0],
+    [HALF_PI, 0.0, 0.0],
+    [-HALF_PI, PI, 0.0],
+], dtype=np.float64)
+
+# All seven arm joints rotate about their local z axis (URDF `<axis xyz="0 0 1"/>`).
+JOINT_LIMIT_LOWER = np.array(
+    [-2.96705972839, -2.09439510239, -2.96705972839, -2.09439510239,
+     -2.96705972839, -2.09439510239, -3.05432619099], dtype=np.float64)
+JOINT_LIMIT_UPPER = -JOINT_LIMIT_LOWER
+JOINT_EFFORT = 300.0          # URDF effort cap; PD drive uses 200 (kuka.py:288)
+JOINT_MAX_VELOCITY = 10.0
+JOINT_DAMPING = 0.5           # URDF <dynamics damping="0.5"/>
+
+# Link masses, kg (iiwa14_parallel_jaw.urdf inertial blocks).
+LINK_MASS = np.array([5.0, 4.0, 4.0, 3.0, 2.7, 1.7, 1.8, 0.3], dtype=np.float64)
+
+# Fixed end-effector frames relative to link 7 (URDF:311-398).
+TIP_OFFSET = np.array([0.0, 0.0, 0.12], dtype=np.float64)
+HAND_CAM_OFFSET = np.array([0.2, 0.0, 0.0], dtype=np.float64)
+GRIPPER_BASE_OFFSET = np.array([0.0, 0.0, 0.055], dtype=np.float64)
+
+# Parallel-jaw gripper (URDF:418-455): two prismatic fingers, range 0..0.035,
+# axes (0,-1,0) and (0,1,0) in the gripper-base frame, effort 20.
+FINGER_ORIGIN = np.array([[0.0, 0.04, 0.04], [0.0, -0.04, 0.04]], dtype=np.float64)
+FINGER_AXIS = np.array([[0.0, -1.0, 0.0], [0.0, 1.0, 0.0]], dtype=np.float64)
+FINGER_LIMIT = 0.035
+FINGER_EFFORT = 20.0
+FINGER_MASS = 0.636951
+FINGER_INERTIA_SCALING = 3.0   # URDF <contact><inertia_scaling value="3.0"/>
+FINGER_TAB_OFFSET = np.array([[0.0, -0.005, 0.0], [0.0, 0.005, 0.0]], dtype=np.float64)
+# Finger collision box half-extents: visual/collision box 0.025 x 0.01 x 0.08.
+FINGER_HALF_EXTENTS = np.array([0.0125, 0.005, 0.04], dtype=np.float64)
+
+# Robotiq-85 gripper constants surfaced by the reference robot layer
+# (kuka.py:54-65). The TPU engine models the Robotiq's *finger pads* as an
+# equivalent pair of pinch surfaces whose separation follows the main finger
+# joint, preserving the action/observation contract.
+ROBOTIQ_JOINT_LIMIT = 0.804
+ROBOTIQ_GRASP_BLOCK_STATE = 0.545
+ROBOTIQ_MIMIC_MULTIPLIER = np.array([1.0, 1.0, 1.0, -1.0, 1.0, -1.0], dtype=np.float64)
+PARALLEL_JAW_GRASP_BLOCK_STATE = 0.02
+PARALLEL_JAW_MIMIC_MULTIPLIER = np.array([1.0, 1.0], dtype=np.float64)
+
+# Poses used by the reference robot layer (kuka.py:27-28).
+KUKA_REST_POSE = np.array(
+    [0.0, -0.5592432, 0.0, 1.733180, 0.0, -0.8501557, 0.0], dtype=np.float64)
+KUKA_AWAY_POSE = np.array(
+    [0.0, 0.5467089, 0.0, 4.518901, 0.0, 0.828478, 0.0], dtype=np.float64)
+
+# IK null-space parameters (kuka.py:266-279; values from the upstream Bullet
+# inverse_kinematics example).
+IK_LOWER = np.array([-0.967, -2.0, -2.96, 0.19, -2.96, -2.09, -3.05], dtype=np.float64)
+IK_UPPER = np.array([0.967, 2.0, 2.96, 2.29, 2.96, 2.09, 3.05], dtype=np.float64)
+IK_RANGES = np.array([5.8, 4.0, 5.8, 4.0, 5.8, 4.0, 6.0], dtype=np.float64)
+IK_MAX_ITERS = 40
+IK_RESIDUAL_THRESHOLD = 1e-5
+
+# PD drive constants (kuka.py:282-301).
+ARM_PD_FORCE = 200.0
+ARM_PD_POSITION_GAIN = 0.03
+FINGER_PD_FORCE = 50.0
+FINGER_PD_POSITION_GAIN = 0.03
+
+# Fixed downward-pointing EE orientation, PyBullet xyzw (kuka.py:42) ->
+# wxyz (0, 0, -1, 0): a 180-degree rotation about -y.
+EE_FIXED_QUAT_WXYZ = np.array([0.0, 0.0, -1.0, 0.0], dtype=np.float64)
+
+# Effective per-joint inertia (kg m^2) for the decoupled servo model: diagonal
+# of the composite-rigid-body mass matrix at the rest pose, rounded to stable
+# representative values. Used by ops/dynamics.py; precomputed offline so the
+# jitted step carries no URDF math.
+ARM_EFFECTIVE_INERTIA = np.array(
+    [1.8, 1.8, 0.9, 0.9, 0.25, 0.12, 0.05], dtype=np.float64)

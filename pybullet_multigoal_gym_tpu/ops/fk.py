@@ -1,0 +1,112 @@
+"""Batched forward kinematics for the Kuka iiwa14 chain.
+
+TPU-native replacement for PyBullet's ``getLinkState`` calls
+(`/root/reference/pybullet_multigoal_gym/robots/robot_bases.py:110`,
+`kuka.py:227-256`). Pure function of the joint vector; unrolled over the 7
+joints (static chain) so XLA fuses the whole chain into one kernel; vmap
+over the env axis batches it.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from pybullet_multigoal_gym_tpu.maths import quat as quatm
+from pybullet_multigoal_gym_tpu.model import kuka_model as KM
+
+# Pre-converted static per-joint origin rotations (wxyz).
+_ORIGIN_QUAT = None
+
+
+def _origin_quats():
+    global _ORIGIN_QUAT
+    if _ORIGIN_QUAT is None:
+        _ORIGIN_QUAT = quatm.euler_xyz_to_quat(jnp.asarray(KM.JOINT_ORIGIN_RPY))
+    return _ORIGIN_QUAT
+
+
+def link_frames(q):
+    """World pose of the 7 joint frames.
+
+    Args:
+      q: (..., 7) arm joint angles.
+    Returns:
+      pos: (..., 7, 3) joint-frame origins, rot: (..., 7, 4) wxyz quaternions.
+    """
+    oq = _origin_quats()
+    oxyz = jnp.asarray(KM.JOINT_ORIGIN_XYZ)
+    batch = q.shape[:-1]
+    p = jnp.zeros(batch + (3,), q.dtype)
+    r = jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0, 0.0], q.dtype), batch + (4,))
+    ps, rs = [], []
+    for j in range(7):
+        p = p + quatm.rotate(r, jnp.broadcast_to(oxyz[j].astype(q.dtype), batch + (3,)))
+        r = quatm.mul(r, jnp.broadcast_to(oq[j].astype(q.dtype), batch + (4,)))
+        # revolute joint about local z
+        zero = jnp.zeros_like(q[..., j])
+        jq = jnp.stack([jnp.cos(q[..., j] * 0.5), zero, zero,
+                        jnp.sin(q[..., j] * 0.5)], axis=-1)
+        r = quatm.mul(r, jq)
+        ps.append(p)
+        rs.append(r)
+    return jnp.stack(ps, axis=-2), jnp.stack(rs, axis=-2)
+
+
+def tip_pose(q):
+    """Gripper-tip world position and orientation (wxyz).
+
+    Matches `parts['iiwa_gripper_tip']` poses (tip = link7 frame + 0.12 z,
+    URDF iiwa14_parallel_jaw.urdf:311-315)."""
+    pos, rot = link_frames(q)
+    p7, r7 = pos[..., 6, :], rot[..., 6, :]
+    tip = p7 + quatm.rotate(r7, jnp.asarray(KM.TIP_OFFSET, q.dtype))
+    return tip, r7
+
+
+def ee_frames(q, finger_q):
+    """All end-effector frames needed by the env layer in one FK pass.
+
+    Args:
+      q: (..., 7) arm joints.  finger_q: (..., 2) finger prismatic positions.
+    Returns dict with world positions (and tip rotation):
+      tip, tip_rot, hand_cam, gripper_base, finger_pos (..2,3), finger_rot,
+      finger_tab (..2,3).
+    """
+    pos, rot = link_frames(q)
+    p7, r7 = pos[..., 6, :], rot[..., 6, :]
+    dt = q.dtype
+    tip = p7 + quatm.rotate(r7, jnp.asarray(KM.TIP_OFFSET, dt))
+    hand_cam = p7 + quatm.rotate(r7, jnp.asarray(KM.HAND_CAM_OFFSET, dt))
+    gbase = p7 + quatm.rotate(r7, jnp.asarray(KM.GRIPPER_BASE_OFFSET, dt))
+    forigin = jnp.asarray(KM.FINGER_ORIGIN, dt)
+    faxis = jnp.asarray(KM.FINGER_AXIS, dt)
+    ftab = jnp.asarray(KM.FINGER_TAB_OFFSET, dt)
+    # finger local offset = origin + axis * joint position
+    floc = forigin + faxis * finger_q[..., :, None]
+    fpos = gbase[..., None, :] + quatm.rotate(r7[..., None, :], floc)
+    ftab_pos = fpos + quatm.rotate(r7[..., None, :], ftab)
+    return {
+        'tip': tip,
+        'tip_rot': r7,
+        'hand_cam': hand_cam,
+        'gripper_base': gbase,
+        'finger_pos': fpos,
+        'finger_rot': jnp.broadcast_to(r7[..., None, :], fpos.shape[:-1] + (4,)),
+        'finger_tab': ftab_pos,
+    }
+
+
+def tip_jacobian(q):
+    """Analytic geometric Jacobian of the gripper tip: (..., 6, 7).
+
+    Rows 0-2 linear, rows 3-5 angular. For a revolute joint about local z:
+    Jv_i = z_i x (p_tip - p_i), Jw_i = z_i.
+    """
+    pos, rot = link_frames(q)
+    tip = pos[..., 6, :] + quatm.rotate(rot[..., 6, :], jnp.asarray(KM.TIP_OFFSET, q.dtype))
+    z = quatm.rotate(rot, jnp.broadcast_to(
+        jnp.array([0.0, 0.0, 1.0], q.dtype), pos.shape))
+    jv = jnp.cross(z, tip[..., None, :] - pos)          # (..., 7, 3)
+    jw = z
+    return jnp.concatenate([jv, jw], axis=-1).swapaxes(-1, -2)  # (..., 6, 7)
