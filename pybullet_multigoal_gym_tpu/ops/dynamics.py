@@ -1,0 +1,587 @@
+"""TPU-native rigid-body dynamics for the multigoal manipulation suite.
+
+Replaces Bullet's ``stepSimulation`` + PD motors + sequential-impulse solver
+(`/root/reference/pybullet_multigoal_gym/robots/kuka.py:223-225,282-301`,
+`envs/base_envs/base_env.py:215-219`) with a pure-functional engine:
+
+* **Arm**: decoupled joint servos reproducing Bullet POSITION_CONTROL
+  semantics (v* = gain/dt * error, impulse capped at force*dt / I_eff) —
+  the arm is a *kinematic driver* for contact purposes (force-200 PD is stiff
+  enough that back-reaction on the arm is negligible for these tasks).
+* **Fingers**: 1-DoF prismatic states with PD drive and full contact
+  coupling along the finger axis — grip force saturates at the PD force cap,
+  which is what makes friction grasps behave like Bullet's.
+* **Free bodies**: maximal-coordinate 6-DoF integration, semi-implicit Euler.
+* **Contacts**: fixed-topology analytic colliders (ops/contact.py) solved with
+  mass-splitting Jacobi iterations (Baumgarte stabilisation, friction-cone
+  clamp) — fully vectorised over the contact lanes, vmappable over envs.
+* **Chest door**: articulated 1-DoF entity, free (motor disabled,
+  `robot_bases.py:230-238`) until the env's hold-open logic drives it
+  (`kuka_multi_step_base_env.py:297-298`).
+
+One control step = ``n_substeps`` scanned substeps of ``dt`` seconds
+(reference: 5 stepSimulation x 20 numSubSteps x 0.002 s = 100 substeps).
+"""
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pybullet_multigoal_gym_tpu.maths import quat as quatm
+from pybullet_multigoal_gym_tpu.model import kuka_model as KM
+from pybullet_multigoal_gym_tpu.ops import contact as C
+from pybullet_multigoal_gym_tpu.ops import fk
+from pybullet_multigoal_gym_tpu.ops import scene as S
+
+GRAVITY = 9.81
+DT_SUB = 0.002                  # base_env.py:74 timestep=0.002
+SUBSTEPS_PER_SIM = 20           # frame_skip / numSubSteps (base_env.py:217-219)
+SIM_CALLS_PER_STEP = 5          # kuka.py:223-225
+ARM_SERVO_RATE = KM.ARM_PD_POSITION_GAIN / DT_SUB     # 15 s^-1
+FINGER_VEL_LIMIT = 0.2          # URDF finger joint <limit velocity>
+ARM_VEL_LIMIT = 10.0
+
+# entity type codes for contact sides
+T_BODY, T_FINGER, T_DOOR, T_WORLD = 0, 1, 2, 3
+
+
+class PhysicsState(NamedTuple):
+    """Dynamic state of one environment instance (unbatched)."""
+    q: jnp.ndarray            # (7,) arm joint positions
+    qd: jnp.ndarray           # (7,)
+    fq: jnp.ndarray           # (2,) finger prismatic positions
+    fqd: jnp.ndarray          # (2,)
+    body_pos: jnp.ndarray     # (NBp,3)
+    body_quat: jnp.ndarray    # (NBp,4) wxyz
+    body_linvel: jnp.ndarray  # (NBp,3)
+    body_angvel: jnp.ndarray  # (NBp,3)
+    door_q: jnp.ndarray       # ()
+    door_qd: jnp.ndarray      # ()
+    ee_contact_force: jnp.ndarray  # (3,) world-frame contact force on gripper
+
+
+class Controls(NamedTuple):
+    q_target: jnp.ndarray        # (7,)
+    f_target: jnp.ndarray        # (2,) finger joint targets (signed, see mimic)
+    door_motor_on: jnp.ndarray   # () bool
+    door_target: jnp.ndarray     # ()
+
+
+def _one_hot_axis(idx):
+    return np.eye(3)[idx]
+
+
+class Engine:
+    """Compiled physics for one SceneSpec. All spec data are trace constants."""
+
+    def __init__(self, spec: S.SceneSpec, solver_iters: int = 12,
+                 erp: float = 0.2, slop: float = 5e-4):
+        self.spec = spec
+        self.solver_iters = solver_iters
+        self.erp = erp
+        self.slop = slop
+        self.nb = max(spec.n_bodies, 1)
+        a = spec.np_arrays() if spec.n_bodies > 0 else None
+
+        # padded body arrays
+        mass = np.ones((self.nb,), np.float32)
+        fric = np.ones((self.nb,), np.float32)
+        if spec.n_bodies:
+            mass[:spec.n_bodies] = a['body_mass']
+            fric[:spec.n_bodies] = a['body_friction']
+        self.body_mass = mass
+        self.body_inv_mass = np.where(mass > 0, 1.0 / np.maximum(mass, 1e-6), 0.0)
+        self.body_friction = fric
+
+        # geoms
+        if spec.n_bodies:
+            self.geom_body = a['geom_body']
+            self.geom_type = a['geom_type']
+            self.geom_half = a['geom_half']
+            self.geom_pos = a['geom_pos']
+        else:
+            self.geom_body = np.zeros((0,), np.int32)
+            self.geom_type = np.zeros((0,), np.int32)
+            self.geom_half = np.zeros((0, 3), np.float32)
+            self.geom_pos = np.zeros((0, 3), np.float32)
+        self.ng = len(self.geom_body)
+
+        # per-body inertia (use first geom of the body as the inertia shape)
+        inertia = np.ones((self.nb, 3), np.float32) * 1e-3
+        for g in range(self.ng):
+            b = self.geom_body[g]
+            if (self.geom_pos[g] == 0).all():
+                inertia[b] = S.body_inertia_diag(
+                    max(self.body_mass[b], 1e-6), self.geom_half[g],
+                    self.geom_type[g])
+        self.body_inv_inertia = np.where(
+            self.body_inv_mass[:, None] > 0, 1.0 / inertia, 0.0).astype(np.float32)
+
+        # statics
+        if spec.ns_static:
+            self.static_half = a['static_half']
+            self.static_pos = a['static_pos']
+            self.static_fric = a['static_friction']
+        else:
+            self.static_half = np.zeros((0, 3), np.float32)
+            self.static_pos = np.zeros((0, 3), np.float32)
+            self.static_fric = np.zeros((0,), np.float32)
+
+        self.door = spec.door
+        self.chest_base = np.asarray(spec.chest_base, np.float32)
+        if self.door is not None:
+            self.door_anchor = self.chest_base + np.asarray(self.door.anchor, np.float32)
+            self.door_axis = np.asarray(self.door.axis, np.float32)
+            self.door_geom_half = np.asarray(self.door.geom_half, np.float32).reshape(-1, 3)
+            self.door_geom_pos = np.asarray(self.door.geom_pos, np.float32).reshape(-1, 3)
+            self.door_inv_mass = 1.0 / max(self.door.mass, 0.25)
+        self.finger_mass = KM.FINGER_MASS * KM.FINGER_INERTIA_SCALING
+
+        self._build_contact_plan()
+
+    # ------------------------------------------------------------------ plan
+    def _build_contact_plan(self):
+        """Precompute the static contact topology: for each contact lane, the
+        generator module it comes from and the two entity descriptors."""
+        plan = []   # list of dicts per module; lanes concatenated at runtime
+
+        # geom vs support plane
+        for g in range(self.ng):
+            n_pts = 8 if self.geom_type[g] == S.BOX else 4
+            plan.append(dict(kind='plane', geom=g, n=n_pts,
+                             ent_a=(T_BODY, self.geom_body[g]),
+                             ent_b=(T_WORLD, 0),
+                             friction=self.body_friction[self.geom_body[g]]
+                             * self.spec.plane_friction))
+        # geom vs geom (different bodies)
+        for i in range(self.ng):
+            for j in range(i + 1, self.ng):
+                bi, bj = self.geom_body[i], self.geom_body[j]
+                if bi == bj:
+                    continue
+                if self.body_inv_mass[bi] == 0 and self.body_inv_mass[bj] == 0:
+                    continue
+                plan.append(dict(kind='geom_geom', geom=i, geom2=j, n=16,
+                                 ent_a=(T_BODY, bi), ent_b=(T_BODY, bj),
+                                 friction=self.body_friction[bi] * self.body_friction[bj]))
+        # finger vs geom
+        for f in range(2):
+            for g in range(self.ng):
+                n_pts = 16 if self.geom_type[g] == S.BOX else 2
+                plan.append(dict(kind='finger_geom', finger=f, geom=g, n=n_pts,
+                                 ent_a=(T_BODY, self.geom_body[g]),
+                                 ent_b=(T_FINGER, f),
+                                 friction=self.body_friction[self.geom_body[g]] * 1.0))
+        # geom vs static boxes
+        for g in range(self.ng):
+            for s in range(len(self.static_half)):
+                plan.append(dict(kind='geom_static', geom=g, static=s, n=16,
+                                 ent_a=(T_BODY, self.geom_body[g]),
+                                 ent_b=(T_WORLD, 0),
+                                 friction=self.body_friction[self.geom_body[g]]
+                                 * self.static_fric[s]))
+        if self.door is not None:
+            # geom vs door
+            for g in range(self.ng):
+                for d in range(len(self.door_geom_half)):
+                    plan.append(dict(kind='geom_door', geom=g, dgeom=d, n=16,
+                                     ent_a=(T_BODY, self.geom_body[g]),
+                                     ent_b=(T_DOOR, 0),
+                                     friction=self.body_friction[self.geom_body[g]] * 0.5))
+            # finger vs door (normal pushes the door: door is side A)
+            for f in range(2):
+                for d in range(len(self.door_geom_half)):
+                    plan.append(dict(kind='finger_door', finger=f, dgeom=d, n=16,
+                                     ent_a=(T_DOOR, 0), ent_b=(T_FINGER, f),
+                                     friction=1.0))
+        self.plan = plan
+        self.n_contacts = sum(p['n'] for p in plan)
+        # flattened per-lane entity descriptors
+        ta, ia, tb, ib, fr = [], [], [], [], []
+        for p in plan:
+            ta += [p['ent_a'][0]] * p['n']
+            ia += [p['ent_a'][1]] * p['n']
+            tb += [p['ent_b'][0]] * p['n']
+            ib += [p['ent_b'][1]] * p['n']
+            fr += [p['friction']] * p['n']
+        z = max(self.n_contacts, 1)
+        self.lane_type_a = np.zeros((z,), np.int32)
+        self.lane_idx_a = np.zeros((z,), np.int32)
+        self.lane_type_b = np.full((z,), T_WORLD, np.int32)
+        self.lane_idx_b = np.zeros((z,), np.int32)
+        self.lane_friction = np.zeros((z,), np.float32)
+        if self.n_contacts:
+            self.lane_type_a[:] = ta
+            self.lane_idx_a[:] = ia
+            self.lane_type_b[:] = tb
+            self.lane_idx_b[:] = ib
+            self.lane_friction[:] = fr
+
+    # ------------------------------------------------------------ door frame
+    def door_frame(self, door_q):
+        """World pose of the door joint frame for a given joint value."""
+        if self.door.kind == S.DOOR_PRISMATIC:
+            pos = jnp.asarray(self.door_anchor) + jnp.asarray(self.door_axis) * door_q
+            rot = jnp.array([1.0, 0.0, 0.0, 0.0], jnp.float32)
+        else:
+            rot = quatm.from_axis_angle(jnp.asarray(self.door_axis),
+                                        door_q[None] if door_q.ndim == 0 else door_q)
+            rot = rot.reshape(4)
+            pos = jnp.asarray(self.door_anchor)
+        return pos, rot
+
+    def door_point_jac(self, points, door_q):
+        """Velocity of a door surface point per unit door_qd: (...,3)."""
+        axis = jnp.asarray(self.door_axis)
+        if self.door.kind == S.DOOR_PRISMATIC:
+            return jnp.broadcast_to(axis, points.shape)
+        anchor = jnp.asarray(self.door_anchor)
+        return jnp.cross(jnp.broadcast_to(axis, points.shape), points - anchor)
+
+    # -------------------------------------------------------------- contacts
+    def _gen_contacts(self, body_pos, body_quat, finger_pos, finger_rot, door_q):
+        """Generate all contact lanes. Returns (pts, nrm, pen, active) with
+        leading dim n_contacts."""
+        if self.n_contacts == 0:
+            z = jnp.zeros((1, 3), jnp.float32)
+            return z, z, jnp.zeros((1,), jnp.float32), jnp.zeros((1,), bool)
+        geom_c = body_pos[self.geom_body] + quatm.rotate(
+            body_quat[self.geom_body], jnp.asarray(self.geom_pos))
+        geom_q = body_quat[self.geom_body]
+        fhalf = jnp.asarray(KM.FINGER_HALF_EXTENTS, jnp.float32)
+        if self.door is not None:
+            dpos, drot = self.door_frame(door_q)
+            dgeom_c = dpos + quatm.rotate(drot, jnp.asarray(self.door_geom_pos))
+            dgeom_q = jnp.broadcast_to(drot, (len(self.door_geom_half), 4))
+        pts, nrm, pen, act = [], [], [], []
+        for p in self.plan:
+            k = p['kind']
+            if k == 'plane':
+                g = p['geom']
+                if self.geom_type[g] == S.BOX:
+                    o = C.box_plane(geom_c[g], geom_q[g],
+                                    jnp.asarray(self.geom_half[g]), self.spec.plane_z)
+                else:
+                    o = C.cylinder_plane(geom_c[g], geom_q[g],
+                                         float(self.geom_half[g][0]),
+                                         float(self.geom_half[g][2]),
+                                         self.spec.plane_z)
+            elif k == 'geom_geom':
+                i, j = p['geom'], p['geom2']
+                o = C.box_box(geom_c[i], geom_q[i], jnp.asarray(self.geom_half[i]),
+                              geom_c[j], geom_q[j], jnp.asarray(self.geom_half[j]))
+            elif k == 'finger_geom':
+                f, g = p['finger'], p['geom']
+                if self.geom_type[g] == S.BOX:
+                    o = C.box_box(geom_c[g], geom_q[g], jnp.asarray(self.geom_half[g]),
+                                  finger_pos[f], finger_rot[f], fhalf)
+                else:
+                    o = C.box_cylinder_upright(
+                        finger_pos[f], finger_rot[f], fhalf,
+                        geom_c[g], float(self.geom_half[g][0]),
+                        float(self.geom_half[g][2]))
+            elif k == 'geom_static':
+                g, s = p['geom'], p['static']
+                o = C.box_box(geom_c[g], geom_q[g], jnp.asarray(self.geom_half[g]),
+                              jnp.asarray(self.static_pos[s]),
+                              jnp.array([1.0, 0, 0, 0], jnp.float32),
+                              jnp.asarray(self.static_half[s]))
+            elif k == 'geom_door':
+                g, d = p['geom'], p['dgeom']
+                o = C.box_box(geom_c[g], geom_q[g], jnp.asarray(self.geom_half[g]),
+                              dgeom_c[d], dgeom_q[d],
+                              jnp.asarray(self.door_geom_half[d]))
+            elif k == 'finger_door':
+                f, d = p['finger'], p['dgeom']
+                o = C.box_box(dgeom_c[d], dgeom_q[d],
+                              jnp.asarray(self.door_geom_half[d]),
+                              finger_pos[f], finger_rot[f], fhalf)
+            else:
+                raise ValueError(k)
+            pts.append(o[0].reshape(-1, 3))
+            nrm.append(o[1].reshape(-1, 3))
+            pen.append(o[2].reshape(-1))
+            act.append(o[3].reshape(-1))
+        return (jnp.concatenate(pts), jnp.concatenate(nrm),
+                jnp.concatenate(pen), jnp.concatenate(act))
+
+    # ---------------------------------------------------------------- solver
+    def _solve(self, state, pts, nrm, pen, active, finger_kin_vel,
+               finger_axis_w, door_q):
+        """Mass-splitting Jacobi contact solve. Returns velocity deltas and the
+        total impulse applied to each finger (world frame, for the EE sensor)."""
+        nc = pts.shape[0]
+        dt32 = jnp.float32
+        type_a = jnp.asarray(self.lane_type_a)
+        idx_a = jnp.asarray(self.lane_idx_a)
+        type_b = jnp.asarray(self.lane_type_b)
+        idx_b = jnp.asarray(self.lane_idx_b)
+        mu = jnp.asarray(self.lane_friction)
+
+        inv_mass = jnp.asarray(self.body_inv_mass)
+        # world-frame inverse inertia per body
+        R = quatm.to_matrix(state.body_quat)
+        inv_I_w = jnp.einsum('bij,bj,bkj->bik', R,
+                             jnp.asarray(self.body_inv_inertia), R)
+        com = state.body_pos
+
+        r_a = pts - com[idx_a]           # valid when type_a == T_BODY
+        r_b = pts - com[idx_b]
+
+        # tangent basis
+        t1 = jnp.cross(nrm, jnp.where(
+            jnp.abs(nrm[:, 2:3]) < 0.9,
+            jnp.array([0.0, 0.0, 1.0], dt32), jnp.array([1.0, 0.0, 0.0], dt32)))
+        t1 = t1 / jnp.maximum(jnp.linalg.norm(t1, axis=-1, keepdims=True), 1e-9)
+        t2 = jnp.cross(nrm, t1)
+
+        door_jac = (self.door_point_jac(pts, door_q) if self.door is not None
+                    else jnp.zeros_like(pts))
+
+        activef = active.astype(dt32)
+
+        # number of active contacts per entity (mass splitting)
+        def _count(etype, eidx, code, n):
+            return jax.ops.segment_sum(
+                activef * (etype == code), eidx, num_segments=n)
+        nb_counts = (_count(type_a, idx_a, T_BODY, self.nb)
+                     + _count(type_b, idx_b, T_BODY, self.nb))
+        fin_counts = (_count(type_a, idx_a, T_FINGER, 2)
+                      + _count(type_b, idx_b, T_FINGER, 2))
+        door_count = jnp.sum(activef * ((type_a == T_DOOR) | (type_b == T_DOOR)))
+        nb_counts = jnp.maximum(nb_counts, 1.0)
+        fin_counts = jnp.maximum(fin_counts, 1.0)
+        door_count = jnp.maximum(door_count, 1.0)
+
+        def k_dir(d, etype, eidx, r):
+            """Split-mass effective inverse mass of one side along direction d."""
+            # body term
+            rxd = jnp.cross(r, d)
+            k_body = inv_mass[eidx] + jnp.einsum(
+                'ci,cij,cj->c', rxd, inv_I_w[eidx], rxd)
+            k_body = k_body * nb_counts[eidx]
+            # finger term
+            ax = finger_axis_w[jnp.clip(eidx, 0, 1)]
+            k_fin = (jnp.einsum('ci,ci->c', d, ax) ** 2 / self.finger_mass
+                     ) * fin_counts[jnp.clip(eidx, 0, 1)]
+            # door term
+            if self.door is not None:
+                k_door = (jnp.einsum('ci,ci->c', d, door_jac) ** 2
+                          * self.door_inv_mass) * door_count
+            else:
+                k_door = jnp.zeros_like(k_body)
+            return jnp.where(etype == T_BODY, k_body,
+                             jnp.where(etype == T_FINGER, k_fin,
+                                       jnp.where(etype == T_DOOR, k_door, 0.0)))
+
+        kn = k_dir(nrm, type_a, idx_a, r_a) + k_dir(nrm, type_b, idx_b, r_b)
+        kt1 = k_dir(t1, type_a, idx_a, r_a) + k_dir(t1, type_b, idx_b, r_b)
+        kt2 = k_dir(t2, type_a, idx_a, r_a) + k_dir(t2, type_b, idx_b, r_b)
+        solvable = active & (kn > 1e-8)
+        kn = jnp.maximum(kn, 1e-8)
+        kt1 = jnp.maximum(kt1, 1e-8)
+        kt2 = jnp.maximum(kt2, 1e-8)
+
+        bias = -(self.erp / DT_SUB) * jnp.maximum(pen - self.slop, 0.0)
+
+        def point_vel(etype, eidx, r, v_lin, v_ang, fqd, door_qd):
+            v_body = v_lin[eidx] + jnp.cross(v_ang[eidx], r)
+            fi = jnp.clip(eidx, 0, 1)
+            v_fin = finger_kin_vel[fi] + finger_axis_w[fi] * fqd[fi][:, None]
+            v_door = door_jac * door_qd
+            return jnp.where((etype == T_BODY)[:, None], v_body,
+                             jnp.where((etype == T_FINGER)[:, None], v_fin,
+                                       jnp.where((etype == T_DOOR)[:, None],
+                                                 v_door, 0.0)))
+
+        def apply_impulse(imp, etype, eidx, r, sgn, carry):
+            v_lin, v_ang, fqd, door_qd = carry
+            imp = imp * sgn
+            is_body = (etype == T_BODY).astype(dt32)[:, None]
+            dv = jax.ops.segment_sum(imp * is_body * inv_mass[eidx][:, None],
+                                     eidx, num_segments=self.nb)
+            ang_imp = jnp.cross(r, imp) * is_body
+            dw = jax.ops.segment_sum(
+                jnp.einsum('cij,cj->ci', inv_I_w[eidx], ang_imp),
+                eidx, num_segments=self.nb)
+            is_fin = (etype == T_FINGER).astype(dt32)
+            fi = jnp.clip(eidx, 0, 1)
+            dfqd = jax.ops.segment_sum(
+                is_fin * jnp.einsum('ci,ci->c', imp, finger_axis_w[fi])
+                / self.finger_mass, fi, num_segments=2)
+            is_door = (etype == T_DOOR).astype(dt32)
+            if self.door is not None:
+                ddoor = jnp.sum(is_door * jnp.einsum('ci,ci->c', imp, door_jac)
+                                * self.door_inv_mass)
+            else:
+                ddoor = 0.0
+            return (v_lin + dv, v_ang + dw, fqd + dfqd, door_qd + ddoor)
+
+        def iteration(_, carry):
+            v_lin, v_ang, fqd, door_qd, lam_n, lam_t1, lam_t2 = carry
+            va = point_vel(type_a, idx_a, r_a, v_lin, v_ang, fqd, door_qd)
+            vb = point_vel(type_b, idx_b, r_b, v_lin, v_ang, fqd, door_qd)
+            vrel = va - vb
+            vn = jnp.einsum('ci,ci->c', vrel, nrm)
+            dlam = jnp.where(solvable, -(vn + bias) / kn, 0.0)
+            new_lam = jnp.maximum(lam_n + dlam, 0.0)
+            dlam = new_lam - lam_n
+            lam_n = new_lam
+            imp = nrm * dlam[:, None]
+            st = (v_lin, v_ang, fqd, door_qd)
+            st = apply_impulse(imp, type_a, idx_a, r_a, 1.0, st)
+            st = apply_impulse(imp, type_b, idx_b, r_b, -1.0, st)
+            v_lin, v_ang, fqd, door_qd = st
+            # friction
+            va = point_vel(type_a, idx_a, r_a, v_lin, v_ang, fqd, door_qd)
+            vb = point_vel(type_b, idx_b, r_b, v_lin, v_ang, fqd, door_qd)
+            vrel = va - vb
+            lim = mu * lam_n
+            for t, kt, lam_name in ((t1, kt1, 0), (t2, kt2, 1)):
+                lam_t = lam_t1 if lam_name == 0 else lam_t2
+                vt = jnp.einsum('ci,ci->c', vrel, t)
+                dlt = jnp.where(solvable, -vt / kt, 0.0)
+                new_lt = jnp.clip(lam_t + dlt, -lim, lim)
+                dlt = new_lt - lam_t
+                if lam_name == 0:
+                    lam_t1 = new_lt
+                else:
+                    lam_t2 = new_lt
+                imp = t * dlt[:, None]
+                st = (v_lin, v_ang, fqd, door_qd)
+                st = apply_impulse(imp, type_a, idx_a, r_a, 1.0, st)
+                st = apply_impulse(imp, type_b, idx_b, r_b, -1.0, st)
+                v_lin, v_ang, fqd, door_qd = st
+            return (v_lin, v_ang, fqd, door_qd, lam_n, lam_t1, lam_t2)
+
+        zeros_c = jnp.zeros((nc,), dt32)
+        carry = (state.body_linvel, state.body_angvel, state.fqd, state.door_qd,
+                 zeros_c, zeros_c, zeros_c)
+        carry = jax.lax.fori_loop(0, self.solver_iters, iteration, carry)
+        v_lin, v_ang, fqd, door_qd, lam_n, lam_t1, lam_t2 = carry
+
+        # total world impulse applied *onto the fingers* (reaction), for the
+        # EE force-torque sensor (kuka.py:250-254)
+        total_imp = nrm * lam_n[:, None] + t1 * lam_t1[:, None] + t2 * lam_t2[:, None]
+        sgn_fin = jnp.where(type_b == T_FINGER, -1.0,
+                            jnp.where(type_a == T_FINGER, 1.0, 0.0))
+        fin_imp = jnp.sum(total_imp * sgn_fin[:, None], axis=0)
+        return v_lin, v_ang, fqd, door_qd, fin_imp
+
+    # ---------------------------------------------------------------- substep
+    def substep(self, state: PhysicsState, controls: Controls) -> PhysicsState:
+        dt = DT_SUB
+        # 1. arm servo (kinematic driver; Bullet POSITION_CONTROL semantics)
+        q_err = controls.q_target - state.q
+        v_des = jnp.clip(ARM_SERVO_RATE * q_err, -ARM_VEL_LIMIT, ARM_VEL_LIMIT)
+        dv_max = KM.ARM_PD_FORCE * dt / jnp.asarray(KM.ARM_EFFECTIVE_INERTIA,
+                                                    jnp.float32)
+        qd = state.qd + jnp.clip(v_des - state.qd, -dv_max, dv_max)
+        q = jnp.clip(state.q + qd * dt,
+                     jnp.asarray(KM.JOINT_LIMIT_LOWER, jnp.float32),
+                     jnp.asarray(KM.JOINT_LIMIT_UPPER, jnp.float32))
+
+        # 2. FK old/new for kinematic finger velocity
+        ee_old = fk.ee_frames(state.q, state.fq)
+        ee_new = fk.ee_frames(q, state.fq)
+        # finger collision boxes are centred on the finger link frame
+        finger_pos = ee_new['finger_pos']
+        finger_rot = ee_new['finger_rot']
+        finger_kin_vel = (ee_new['finger_pos'] - ee_old['finger_pos']) / dt
+        finger_axis_w = quatm.rotate(finger_rot,
+                                     jnp.asarray(KM.FINGER_AXIS, jnp.float32))
+
+        # 3. finger servo (PD toward the mimic-multiplied grip target)
+        f_err = controls.f_target - state.fq
+        fv_des = jnp.clip(ARM_SERVO_RATE * f_err, -FINGER_VEL_LIMIT,
+                          FINGER_VEL_LIMIT)
+        fdv_max = KM.FINGER_PD_FORCE * dt / self.finger_mass
+        fqd = state.fqd + jnp.clip(fv_des - state.fqd, -fdv_max, fdv_max)
+
+        # 4. free bodies: gravity
+        g = jnp.array([0.0, 0.0, -GRAVITY], jnp.float32)
+        grav_on = (jnp.asarray(self.body_inv_mass) > 0).astype(jnp.float32)
+        v_lin = state.body_linvel + g * dt * grav_on[:, None]
+        v_ang = state.body_angvel
+
+        # 5. door servo (only when the hold-open logic enables the motor)
+        if self.door is not None:
+            d_err = controls.door_target - state.door_q
+            dv_des = jnp.clip(ARM_SERVO_RATE * d_err, -1.0, 1.0)
+            ddv_max = 500.0 * dt * self.door_inv_mass
+            door_qd_driven = state.door_qd + jnp.clip(
+                dv_des - state.door_qd, -ddv_max, ddv_max)
+            # free door: light viscous damping so it doesn't coast forever
+            door_qd_free = state.door_qd * (1.0 - 2.0 * dt)
+            door_qd = jnp.where(controls.door_motor_on, door_qd_driven,
+                                door_qd_free)
+        else:
+            door_qd = state.door_qd
+
+        pre = state._replace(body_linvel=v_lin, body_angvel=v_ang, fqd=fqd,
+                             door_qd=door_qd)
+
+        # 6. contacts + solve
+        pts, nrm, pen, active = self._gen_contacts(
+            state.body_pos, state.body_quat, finger_pos, finger_rot,
+            state.door_q)
+        if self.n_contacts:
+            v_lin, v_ang, fqd, door_qd, fin_imp = self._solve(
+                pre, pts, nrm, pen, active, finger_kin_vel, finger_axis_w,
+                state.door_q)
+            ee_force = fin_imp / dt
+        else:
+            ee_force = jnp.zeros(3, jnp.float32)
+
+        # 7. integrate
+        body_pos = state.body_pos + v_lin * dt
+        body_quat = quatm.integrate_angvel(state.body_quat, v_ang, dt)
+        fq = jnp.clip(state.fq + fqd * dt, -KM.FINGER_LIMIT, KM.FINGER_LIMIT)
+        if self.door is not None:
+            door_q = jnp.clip(state.door_q + door_qd * dt, 0.0, self.door.limit)
+        else:
+            door_q = state.door_q
+
+        return PhysicsState(
+            q=q, qd=qd, fq=fq, fqd=fqd,
+            body_pos=body_pos, body_quat=body_quat,
+            body_linvel=v_lin, body_angvel=v_ang,
+            door_q=door_q, door_qd=door_qd,
+            ee_contact_force=ee_force)
+
+    def control_step(self, state: PhysicsState, controls: Controls,
+                     n_sim_calls: int = SIM_CALLS_PER_STEP) -> PhysicsState:
+        """One env-level action: n_sim_calls x 20 substeps (kuka.py:223-225)."""
+        n = n_sim_calls * SUBSTEPS_PER_SIM
+
+        def body(s, _):
+            return self.substep(s, controls), None
+
+        state, _ = jax.lax.scan(body, state, None, length=n)
+        return state
+
+    # ------------------------------------------------------------------ init
+    def init_state(self, q=None, body_pos=None, body_quat=None,
+                   fq=KM.FINGER_LIMIT, door_q=0.0) -> PhysicsState:
+        if q is None:
+            q = jnp.asarray(KM.KUKA_REST_POSE, jnp.float32)
+        if body_pos is None:
+            body_pos = jnp.zeros((self.nb, 3), jnp.float32)
+        if body_quat is None:
+            body_quat = jnp.tile(jnp.array([1.0, 0, 0, 0], jnp.float32),
+                                 (self.nb, 1))
+        return PhysicsState(
+            q=jnp.asarray(q, jnp.float32),
+            qd=jnp.zeros(7, jnp.float32),
+            fq=jnp.full((2,), fq, jnp.float32),
+            fqd=jnp.zeros(2, jnp.float32),
+            body_pos=jnp.asarray(body_pos, jnp.float32),
+            body_quat=jnp.asarray(body_quat, jnp.float32),
+            body_linvel=jnp.zeros((self.nb, 3), jnp.float32),
+            body_angvel=jnp.zeros((self.nb, 3), jnp.float32),
+            door_q=jnp.asarray(door_q, jnp.float32),
+            door_qd=jnp.zeros((), jnp.float32),
+            ee_contact_force=jnp.zeros(3, jnp.float32))

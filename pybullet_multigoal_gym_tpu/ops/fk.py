@@ -7,23 +7,31 @@ joints (static chain) so XLA fuses the whole chain into one kernel; vmap
 over the env axis batches it.
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from pybullet_multigoal_gym_tpu.maths import quat as quatm
 from pybullet_multigoal_gym_tpu.model import kuka_model as KM
 
-# Pre-converted static per-joint origin rotations (wxyz).
-_ORIGIN_QUAT = None
+
+def _np_euler_xyz_to_quat(rpy):
+    r, p, y = rpy[..., 0] * 0.5, rpy[..., 1] * 0.5, rpy[..., 2] * 0.5
+    cr, sr, cp, sp, cy, sy = np.cos(r), np.sin(r), np.cos(p), np.sin(p), np.cos(y), np.sin(y)
+    return np.stack([
+        cr * cp * cy + sr * sp * sy,
+        sr * cp * cy - cr * sp * sy,
+        cr * sp * cy + sr * cp * sy,
+        cr * cp * sy - sr * sp * cy,
+    ], axis=-1)
+
+
+# Static per-joint origin rotations (wxyz), computed host-side.
+_ORIGIN_QUAT_NP = _np_euler_xyz_to_quat(KM.JOINT_ORIGIN_RPY)
 
 
 def _origin_quats():
-    global _ORIGIN_QUAT
-    if _ORIGIN_QUAT is None:
-        _ORIGIN_QUAT = quatm.euler_xyz_to_quat(jnp.asarray(KM.JOINT_ORIGIN_RPY))
-    return _ORIGIN_QUAT
+    return _ORIGIN_QUAT_NP
 
 
 def link_frames(q):
@@ -35,14 +43,14 @@ def link_frames(q):
       pos: (..., 7, 3) joint-frame origins, rot: (..., 7, 4) wxyz quaternions.
     """
     oq = _origin_quats()
-    oxyz = jnp.asarray(KM.JOINT_ORIGIN_XYZ)
+    oxyz = np.asarray(KM.JOINT_ORIGIN_XYZ)
     batch = q.shape[:-1]
     p = jnp.zeros(batch + (3,), q.dtype)
     r = jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0, 0.0], q.dtype), batch + (4,))
     ps, rs = [], []
     for j in range(7):
-        p = p + quatm.rotate(r, jnp.broadcast_to(oxyz[j].astype(q.dtype), batch + (3,)))
-        r = quatm.mul(r, jnp.broadcast_to(oq[j].astype(q.dtype), batch + (4,)))
+        p = p + quatm.rotate(r, jnp.broadcast_to(jnp.asarray(oxyz[j], q.dtype), batch + (3,)))
+        r = quatm.mul(r, jnp.broadcast_to(jnp.asarray(oq[j], q.dtype), batch + (4,)))
         # revolute joint about local z
         zero = jnp.zeros_like(q[..., j])
         jq = jnp.stack([jnp.cos(q[..., j] * 0.5), zero, zero,
