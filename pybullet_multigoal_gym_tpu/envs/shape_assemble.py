@@ -1,0 +1,173 @@
+"""Push-primitive shape-assembly family: KukaPushAssembleEnv / KukaPushReachEnv.
+
+Functional re-implementation of `KukaBulletPrimitiveEnv`
+(`/root/reference/pybullet_multigoal_gym/envs/base_envs/kuka_shape_assemble_base_env.py`)
+and its task envs (`envs/task_envs/kuka_shape_assemble_envs.py`).
+
+One env action executes a whole push primitive
+(`robots/kuka.py:303-312`): teleport the arm to rest, then 4 IK waypoints,
+each followed by 20 sim calls (= 400 substeps of 2 ms), then teleport back.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pybullet_multigoal_gym_tpu.config import EnvConfig
+from pybullet_multigoal_gym_tpu.maths import quat as quatm
+from pybullet_multigoal_gym_tpu.model import kuka_model as KM
+from pybullet_multigoal_gym_tpu.ops import dynamics as D
+from pybullet_multigoal_gym_tpu.ops import ik
+from pybullet_multigoal_gym_tpu.ops import scene as S
+from pybullet_multigoal_gym_tpu.envs import core
+from pybullet_multigoal_gym_tpu.envs.single_step import KukaEnvBase
+
+F32 = jnp.float32
+
+# workspace range for the push primitive
+# (kuka_shape_assemble_base_env.py:70-73)
+WORKSPACE_UPPER_XY = np.array([-0.405, 0.175], np.float32)
+WORKSPACE_LOWER_XY = np.array([-0.755, -0.175], np.float32)
+RESOLUTION = 0.0015625          # 0.35 / 224 m per pixel
+PUSH_LENGTH = 0.1               # kuka.py:87
+NUM_ANGLES = 20                 # kuka.py:90
+
+
+class KukaPrimitiveEnv(KukaEnvBase):
+
+    def __init__(self, cfg: EnvConfig):
+        super().__init__(cfg)
+        rng = WORKSPACE_UPPER_XY - WORKSPACE_LOWER_XY
+        # int((range + 1e-4) // resolution) (kuka.py:92-94)
+        self.action_map_width = int((rng[0] + 0.0001) // RESOLUTION)
+        self.action_map_height = int((rng[1] + 0.0001) // RESOLUTION)
+        self.object_keys = cfg.manipulated_object_keys
+        self.goal_obj_idx = self.object_keys.index(cfg.goal_object_key)
+        self.obj_z = 0.035      # object_initial_pos (kuka_shape_assemble_base_env.py:55-61)
+
+    def _build_engine(self):
+        return D.Engine(S.shape_assemble_scene(self.cfg.manipulated_object_keys))
+
+    @property
+    def goal_dim(self):
+        return 6 if self.cfg.orientation_informed_goal else 3
+
+    # ------------------------------------------------------------------ reset
+    def reset(self, key):
+        cfg = self.cfg
+        k_spawn, k_yaw, k_goal, k_next = jax.random.split(key, 4)
+        tip_init = jnp.asarray(self.tip_initial, F32)
+        n = len(self.object_keys)
+        pos = core.sample_block_positions(
+            k_spawn, n, self.object_lower[:2], self.object_upper[:2],
+            tip_init[:2], self.obj_z)
+        yaws = jax.random.uniform(k_yaw, (n,), F32, -1.0, 1.0) * jnp.pi
+        quats = quatm.yaw_quat_zyz(yaws)
+        phys = self._reset_phys(pos, body_quat=quats)
+        state = self._base_env_state(phys, k_next,
+                                     jnp.zeros((self.goal_dim,), F32),
+                                     spawn_body_pos=pos)
+        state = self._generate_goal(state, k_goal)
+        return state, self._get_obs(state)[0]
+
+    # ------------------------------------------------------------------ goals
+    def _generate_goal(self, state, key):
+        if self.cfg.task == 'primitive_push_assemble':
+            # goal = slot_target frame (slot link 2, offset (-0.03,0,0) in the
+            # slot base frame; kuka_shape_assemble_envs.py:25-30)
+            slot_idx = self.object_keys.index('slot')
+            spos = state.phys.body_pos[slot_idx]
+            squat = state.phys.body_quat[slot_idx]
+            tgt = spos + quatm.rotate(squat, jnp.array([-0.03, 0.0, 0.0], F32))
+            euler = quatm.quat_to_euler_zyz(squat)
+            goal = jnp.concatenate([tgt, euler])
+        else:
+            # random pose >=0.06 away + random yaw
+            # (kuka_shape_assemble_envs.py:76-91)
+            k_pos, k_yaw = jax.random.split(key)
+            obj_pos = state.phys.body_pos[self.goal_obj_idx]
+
+            def valid(g):
+                return jnp.linalg.norm(g - obj_pos) > 0.06
+            tgt = core.rejection_uniform(k_pos, self.target_lower,
+                                         self.target_upper, valid)
+            tgt = tgt.at[2].set(self.obj_z)
+            yaw = jax.random.uniform(k_yaw, (), F32, -1.0, 1.0) * jnp.pi
+            euler = quatm.quat_to_euler_zyz(quatm.yaw_quat_zyz(yaw[None])[0])
+            goal = jnp.concatenate([tgt, euler])
+        return state._replace(desired_goal=goal)
+
+    # ------------------------------------------------------------------- step
+    def step(self, state: core.EnvState, action):
+        cfg = self.cfg
+        a = jnp.asarray(action, F32)
+        lower = jnp.asarray(WORKSPACE_LOWER_XY)
+        upper = jnp.asarray(WORKSPACE_UPPER_XY)
+        rng = upper - lower
+        if cfg.primitive == 'discrete_push':
+            # (angle_idx, px, py) (kuka.py:174-177)
+            start_x = a[1] * RESOLUTION + lower[0]
+            start_y = a[2] * RESOLUTION + lower[1]
+            angle = 2.0 * jnp.pi / NUM_ANGLES * a[0]
+        else:
+            # (x, y, angle) in [-1,1] (kuka.py:178-181)
+            a = jnp.clip(a, -1.0, 1.0)
+            start_x = lower[0] + rng[0] * (a[0] + 1.0) / 2.0
+            start_y = lower[1] + rng[1] * (a[1] + 1.0) / 2.0
+            angle = a[2] * jnp.pi / 2.0
+        end_x = jnp.clip(start_x + jnp.cos(angle) * PUSH_LENGTH,
+                         lower[0], upper[0])
+        end_y = jnp.clip(start_y + jnp.sin(angle) * PUSH_LENGTH,
+                         lower[1], upper[1])
+        z_hi = cfg.table_surface_z + 0.1
+        z_lo = cfg.table_surface_z + 0.01
+        waypoints = jnp.stack([
+            jnp.stack([start_x, start_y, z_hi]),
+            jnp.stack([start_x, start_y, z_lo]),
+            jnp.stack([end_x, end_y, z_lo]),
+            jnp.stack([end_x, end_y, z_hi])])
+
+        # execute_primitive (kuka.py:303-312): teleport to rest, drive through
+        # the waypoints (20 sim calls each), teleport back to rest
+        phys = state.phys._replace(q=jnp.asarray(self.rest_pose),
+                                   qd=jnp.zeros(7, F32))
+
+        def run_waypoint(ph, wp):
+            q_t = ik.solve(wp, q_init=ph.q,
+                           rest_pose=jnp.asarray(self.rest_pose))
+            ctrl = self._controls(q_t, self.gripper_abs_joint_limit)
+            ph = self.engine.control_step(ph, ctrl, n_sim_calls=20)
+            return ph, None
+
+        phys, _ = jax.lax.scan(run_waypoint, phys, waypoints)
+        phys = phys._replace(q=jnp.asarray(self.rest_pose), qd=jnp.zeros(7, F32))
+        state = state._replace(phys=phys, steps=state.steps + 1)
+        if self.cfg.regenerate_goal_when_step:
+            state = self._generate_goal(state, state.key)
+        obs, state = self._get_obs(state), state
+        obs = obs[0]
+        reward, achieved = core.binary_or_dense_reward(
+            obs['achieved_goal'], obs['desired_goal'],
+            self.cfg.distance_threshold, self.cfg.binary_reward)
+        return state, obs, reward, achieved
+
+    # -------------------------------------------------------------------- obs
+    def _get_obs(self, state: core.EnvState):
+        """`kuka_shape_assemble_base_env.py:145-202`: object poses with ZYZ
+        Euler angles; achieved goal = goal object pose."""
+        parts = []
+        achieved = []
+        for i, keyname in enumerate(self.object_keys):
+            xyz = state.phys.body_pos[i]
+            euler = quatm.quat_to_euler_zyz(state.phys.body_quat[i])
+            parts += [xyz, euler]
+            if i == self.goal_obj_idx:
+                achieved.append(xyz)
+                if self.cfg.orientation_informed_goal:
+                    achieved.append(euler)
+        state_vec = jnp.concatenate(parts)
+        obs = {'observation': state_vec,
+               'policy_state': state_vec,
+               'achieved_goal': jnp.concatenate(achieved),
+               'desired_goal': state.desired_goal}
+        return obs, state

@@ -1,0 +1,116 @@
+"""Vectorised environment front-end: jit + vmap over thousands of env
+instances, TimeLimit + auto-reset semantics.
+
+The reference has no vector env at all (one Bullet client per process,
+`base_env.py:203-220`); this wrapper is the core design axis of the TPU
+build. ``done`` is produced only by the TimeLimit, matching the reference
+where ``env.step`` always returns ``done=False`` and the gym ``TimeLimit``
+wrapper truncates (`base_env.py:138`, `__init__.py:105`).
+"""
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pybullet_multigoal_gym_tpu.config import EnvConfig, env_id
+from pybullet_multigoal_gym_tpu.utils import spaces
+
+F32 = jnp.float32
+
+
+def _make_core(cfg: EnvConfig):
+    fam = cfg.family
+    if fam == 'single_step':
+        from pybullet_multigoal_gym_tpu.envs import single_step
+        return single_step.KukaSingleStepEnv(cfg)
+    if fam == 'multi_step':
+        from pybullet_multigoal_gym_tpu.envs import multi_step
+        return multi_step.KukaMultiBlockEnv(cfg)
+    if fam == 'shape_assemble':
+        from pybullet_multigoal_gym_tpu.envs import shape_assemble
+        return shape_assemble.KukaPrimitiveEnv(cfg)
+    from pybullet_multigoal_gym_tpu.envs import insertion
+    return insertion.KukaInsertionEnv(cfg)
+
+
+class VecMGEnv:
+    """Batched multigoal env.
+
+    Usage::
+
+        env = VecMGEnv(EnvConfig(task='push'), num_envs=4096)
+        state, obs = env.reset(jax.random.PRNGKey(0))
+        state, obs, reward, done, info = env.step(state, actions)
+    """
+
+    def __init__(self, cfg: EnvConfig, num_envs: int = 1, auto_reset: bool = True,
+                 jit: bool = True):
+        cfg.validate()
+        self.cfg = cfg
+        self.num_envs = num_envs
+        self.auto_reset = auto_reset
+        self.core = _make_core(cfg)
+        self.env_id = env_id(cfg)
+        self.max_episode_steps = cfg.max_episode_steps
+
+        def reset_fn(key):
+            keys = jax.random.split(key, num_envs)
+            return jax.vmap(self.core.reset)(keys)
+
+        def step_fn(state, action):
+            state, obs, reward, achieved = jax.vmap(self.core.step)(state, action)
+            done = state.steps >= cfg.max_episode_steps
+            info = {'goal_achieved': achieved}
+            if auto_reset:
+                def do_reset(s):
+                    new_key, sub = jax.random.split(s.key)
+                    ns, _ = self.core.reset(sub)
+                    return ns._replace(key=new_key)
+                reset_states = jax.vmap(do_reset)(state)
+                state = jax.tree_util.tree_map(
+                    lambda r, s: jnp.where(
+                        done.reshape(done.shape + (1,) * (s.ndim - 1)), r, s),
+                    reset_states, state)
+            return state, obs, reward, done, info
+
+        self._reset = jax.jit(reset_fn) if jit else reset_fn
+        self._step = jax.jit(step_fn) if jit else step_fn
+
+    # ------------------------------------------------------------------- api
+    def reset(self, key):
+        return self._reset(key)
+
+    def step(self, state, action):
+        return self._step(state, action)
+
+    @property
+    def action_space(self):
+        cfg = self.cfg
+        if cfg.primitive == 'discrete_push':
+            # MultiDiscrete([20, W, H]) (kuka.py:89-97)
+            w = self.core.action_map_width
+            h = self.core.action_map_height
+            return spaces.MultiDiscrete((20, w, h))
+        return spaces.Box.unit(cfg.action_dim)
+
+    def observation_space(self, obs):
+        """Build a Dict space from a sample obs, mirroring
+        `base_env.py:86-110` (including its `state` key quirk: the reference
+        names the first key `state` but sizes it from obs['observation'])."""
+        d = {}
+        for k, v in obs.items():
+            if isinstance(v, dict):
+                continue
+            d[k] = spaces.Box.unbounded(np.asarray(v).shape[1:] or (1,))
+        return spaces.Dict(d)
+
+
+def make_vec_env(num_envs: int = 1, **kwargs) -> VecMGEnv:
+    cfg_fields = {f for f in EnvConfig.__dataclass_fields__}
+    cfg_kwargs = {k: v for k, v in kwargs.items() if k in cfg_fields}
+    rest = {k: v for k, v in kwargs.items() if k not in cfg_fields}
+    cfg = EnvConfig(**cfg_kwargs)
+    return VecMGEnv(cfg, num_envs=num_envs, **rest)
