@@ -91,7 +91,8 @@ class KukaMultiBlockEnv(KukaEnvBase):
         # carries them over on auto-reset. A fresh reset starts at level 0.
         state = self._generate_goal(state, block_pos, new_target=True,
                                     key=k_goal)
-        return state, self._get_obs(state)[0]
+        obs, state = self._get_obs(state)
+        return state, obs
 
     # ------------------------------------------------------------------- step
     def step(self, state: core.EnvState, action):

@@ -56,12 +56,28 @@ class VecMGEnv:
         self.env_id = env_id(cfg)
         self.max_episode_steps = cfg.max_episode_steps
 
+        self.pipeline = None
+        if cfg.image_observation or cfg.point_cloud:
+            from pybullet_multigoal_gym_tpu.render.pipeline import RenderPipeline
+            self.pipeline = RenderPipeline(self.core)
+
+        def add_images(state, obs):
+            if self.pipeline is None:
+                return obs
+            obs = dict(obs)
+            obs['state'] = obs['observation']
+            img = jax.vmap(self.pipeline.image_obs)(state)
+            obs.update(img)
+            return obs
+
         def reset_fn(key):
             keys = jax.random.split(key, num_envs)
-            return jax.vmap(self.core.reset)(keys)
+            state, obs = jax.vmap(self.core.reset)(keys)
+            return state, add_images(state, obs)
 
         def step_fn(state, action):
             state, obs, reward, achieved = jax.vmap(self.core.step)(state, action)
+            obs = add_images(state, obs)
             done = state.steps >= cfg.max_episode_steps
             info = {'goal_achieved': achieved}
             if auto_reset:
