@@ -56,7 +56,9 @@ class GymStyleEnv:
     def reset(self, test: bool = False):
         self._key, sub = jax.random.split(self._key)
         self._state, obs = self.venv.reset(sub)
-        obs = {k: v[0] for k, v in _to_np(obs).items()}
+        obs = {k: (v[0] if not isinstance(v, dict) else
+                   {kk: vv[0] for kk, vv in v.items()})
+               for k, v in _to_np(obs).items()}
         if self.observation_space is None:
             self.observation_space = spaces.Dict({
                 ('state' if k == 'observation' and not self.cfg.image_observation

@@ -55,7 +55,8 @@ class MultiDiscrete:
 
     def sample(self, rng=None):
         rng = rng or np.random
-        return np.array([rng.randint(0, n) for n in self.nvec])
+        draw = rng.integers if hasattr(rng, 'integers') else rng.randint
+        return np.array([draw(0, n) for n in self.nvec])
 
 
 @dataclasses.dataclass(frozen=True)
