@@ -1,0 +1,67 @@
+"""Headline benchmark: env-steps/s, state-based push, 4096 vectorized envs.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference publishes no throughput numbers (BASELINE.md); the comparison
+point is the driver's north star — >=1M aggregate env-steps/s on a v4-8
+(4 chips) for state-based reach/push, i.e. 250k env-steps/s per chip.
+`vs_baseline` is measured throughput / 250k. One env step = 100 physics
+substeps of 2 ms (matching the reference's 5 stepSimulation x 20 numSubSteps,
+`robots/kuka.py:223-225`, `envs/base_envs/base_env.py:215-219`).
+"""
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+PER_CHIP_BASELINE = 250_000.0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--task', default='push')
+    ap.add_argument('--num-envs', type=int, default=4096)
+    ap.add_argument('--steps', type=int, default=50)
+    ap.add_argument('--warmup', type=int, default=3)
+    args = ap.parse_args()
+
+    from pybullet_multigoal_gym_tpu.config import EnvConfig
+    from pybullet_multigoal_gym_tpu.envs.vec_env import VecMGEnv
+
+    venv = VecMGEnv(EnvConfig(task=args.task), num_envs=args.num_envs)
+    key = jax.random.PRNGKey(0)
+    state, obs = venv.reset(key)
+
+    def random_actions(k):
+        return jax.random.uniform(
+            k, (args.num_envs, venv.cfg.action_dim), jnp.float32, -1.0, 1.0)
+
+    acts = jax.jit(random_actions)
+
+    # warmup / compile
+    for i in range(args.warmup):
+        state, obs, reward, done, info = venv.step(state, acts(jax.random.fold_in(key, i)))
+    jax.block_until_ready(reward)
+
+    t0 = time.perf_counter()
+    for i in range(args.steps):
+        state, obs, reward, done, info = venv.step(
+            state, acts(jax.random.fold_in(key, 100 + i)))
+    jax.block_until_ready(reward)
+    dt = time.perf_counter() - t0
+
+    steps_per_s = args.num_envs * args.steps / dt
+    n_chips = max(len(set(d.id for d in jax.devices())), 1)
+    print(json.dumps({
+        'metric': 'env_steps_per_s_per_chip_%s_%d' % (args.task, args.num_envs),
+        'value': round(steps_per_s / n_chips, 1),
+        'unit': 'env-steps/s/chip',
+        'vs_baseline': round(steps_per_s / n_chips / PER_CHIP_BASELINE, 4),
+    }))
+
+
+if __name__ == '__main__':
+    main()

@@ -49,6 +49,8 @@ class VecMGEnv:
     def __init__(self, cfg: EnvConfig, num_envs: int = 1, auto_reset: bool = True,
                  jit: bool = True):
         cfg.validate()
+        assert isinstance(num_envs, int) and num_envs >= 1, \
+            'num_envs must be a positive int, got %r' % (num_envs,)
         self.cfg = cfg
         self.num_envs = num_envs
         self.auto_reset = auto_reset

@@ -83,17 +83,52 @@ def corners_vs_box(ca, qa, ha, cb, qb, hb):
 
 
 def box_box(ca, qa, ha, cb, qb, hb):
-    """Two-sided corner-SDF box-box contact: 16 candidates.
+    """Two-sided box-box contact with a SAT face normal: 16 candidates.
+
+    Corner-in-box tests (both directions) supply the contact *points* and the
+    active mask, but the shared manifold *normal* is the global minimum-
+    penetration separating axis over the 6 face axes, and each point's depth
+    is measured along it. A per-corner nearest-exit-face normal (the naive
+    SDF choice) mis-attributes face-face contacts whenever a corner lies
+    near an adjacent face — e.g. a gripper pad squeezing a block whose bottom
+    is coplanar with the pad's bottom reports +-z normals instead of the +-y
+    pinch axis, and the grasp silently fails. Edge-edge axes are ignored
+    (fixed-topology manifolds; adequate for this suite's face-dominated
+    stacking/pushing/grasping interactions).
 
     All normals point from B toward A."""
-    p1, n1, pen1, a1 = corners_vs_box(ca, qa, ha, cb, qb, hb)
-    p2, n2, pen2, a2 = corners_vs_box(cb, qb, hb, ca, qa, ha)
-    # corners of B inside A: flip the normal so it still pushes A away from B
-    n2 = -n2
+    dt = ca.dtype
+    Ra = quatm.to_matrix(qa)                     # (...,3,3) cols = box axes
+    Rb = quatm.to_matrix(qb)
+    axes = jnp.concatenate([jnp.moveaxis(Ra, -1, -2),
+                            jnp.moveaxis(Rb, -1, -2)], axis=-2)  # (...,6,3)
+    t = ca - cb
+    # projected half-extents of each box onto each axis
+    ra = jnp.sum(jnp.abs(axes @ Ra) * ha[..., None, :], axis=-1)
+    rb = jnp.sum(jnp.abs(axes @ Rb) * hb[..., None, :], axis=-1)
+    tl = jnp.einsum('...ki,...i->...k', axes, t)
+    overlap = ra + rb - jnp.abs(tl)              # (...,6)
+    sat_ok = jnp.all(overlap > -MARGIN, axis=-1)
+    k = jnp.argmin(overlap, axis=-1)
+    L = jnp.take_along_axis(axes, k[..., None, None], axis=-2)[..., 0, :]
+    tk = jnp.take_along_axis(tl, k[..., None], axis=-1)[..., 0]
+    # normal points from B toward A
+    n = L * jnp.where(tk >= 0, 1.0, -1.0)[..., None]
+    # depth of each candidate corner along the SAT axis
+    ra_n = jnp.sum(jnp.abs(jnp.einsum('...i,...ij->...j', n, Ra)) * ha, axis=-1)
+    rb_n = jnp.sum(jnp.abs(jnp.einsum('...i,...ij->...j', n, Rb)) * hb, axis=-1)
+
+    p1, _, sdf1, a1 = corners_vs_box(ca, qa, ha, cb, qb, hb)   # A corners in B
+    p2, _, sdf2, a2 = corners_vs_box(cb, qb, hb, ca, qa, ha)   # B corners in A
+    # A's corner past B's +n face: pen = rb_n - n.(p - cb)
+    pen1 = rb_n[..., None] - jnp.einsum('...i,...ci->...c', n, p1 - cb[..., None, :])
+    # B's corner past A's -n face: pen = n.(p - ca) + ra_n
+    pen2 = jnp.einsum('...i,...ci->...c', n, p2 - ca[..., None, :]) + ra_n[..., None]
+
     pts = jnp.concatenate([p1, p2], axis=-2)
-    nrm = jnp.concatenate([n1, n2], axis=-2)
+    nrm = jnp.broadcast_to(n[..., None, :], pts.shape)
     pen = jnp.concatenate([pen1, pen2], axis=-1)
-    act = jnp.concatenate([a1, a2], axis=-1)
+    act = jnp.concatenate([a1, a2], axis=-1) & sat_ok[..., None]
     return pts, nrm, pen, act
 
 

@@ -54,7 +54,7 @@ def solve(target_pos, target_quat=None, rest_pose=None, q_init=None,
     jlower = jnp.asarray(KM.JOINT_LIMIT_LOWER, dt)
     jupper = jnp.asarray(KM.JOINT_LIMIT_UPPER, dt)
 
-    def body(_, q):
+    def body(i, q):
         tip, rot = fk.tip_pose(q)
         jac = fk.tip_jacobian(q)                 # (..., 6, 7)
         perr = target_pos - tip
@@ -71,11 +71,15 @@ def solve(target_pos, target_quat=None, rest_pose=None, q_init=None,
         A = JJt + _DAMPING * jnp.eye(n, dtype=dt)
         y = jnp.linalg.solve(A, err[..., None])[..., 0]
         dq = jnp.einsum('...ij,...i->...j', J, y)
-        # null-space bias toward the rest pose (Bullet's null-space method)
+        # null-space bias toward the rest pose (Bullet's null-space method);
+        # phased out over the second half of the iterations so the final
+        # iterations are pure DLS polish (sub-mm convergence like Bullet's
+        # residualThreshold=1e-5 behaviour)
         JtAinvJ = jnp.einsum('...ji,...jk,...kl->...il', J,
                              jnp.linalg.inv(A), J)
         ns = (rest_pose - q) - jnp.einsum('...ij,...j->...i', JtAinvJ, rest_pose - q)
-        q = q + dq + 0.5 * ns
+        ns_w = jnp.where(i < num_iters // 2, 0.5, 0.0).astype(dt)
+        q = q + dq + ns_w * ns
         q = jnp.clip(q, lower, upper)
         return q
 
