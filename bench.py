@@ -16,6 +16,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 PER_CHIP_BASELINE = 250_000.0
 
@@ -41,16 +42,17 @@ def main():
 
     acts = jax.jit(random_actions)
 
-    # warmup / compile
+    # warmup / compile. NOTE: a host data fetch (np.asarray), not just
+    # block_until_ready, is required to actually wait on remote TPU backends.
     for i in range(args.warmup):
         state, obs, reward, done, info = venv.step(state, acts(jax.random.fold_in(key, i)))
-    jax.block_until_ready(reward)
+    np.asarray(reward)
 
     t0 = time.perf_counter()
     for i in range(args.steps):
         state, obs, reward, done, info = venv.step(
             state, acts(jax.random.fold_in(key, 100 + i)))
-    jax.block_until_ready(reward)
+    np.asarray(reward)
     dt = time.perf_counter() - t0
 
     steps_per_s = args.num_envs * args.steps / dt

@@ -7,6 +7,15 @@ single-env gym-style adapter; `make_vec_env` returns the batched TPU-first
 handle (jit + vmap + sharding over a device mesh).
 """
 
+import jax as _jax
+
+# TPU MXU matmuls default to bfloat16 accumulation; the engine's matmuls are
+# tiny (3x3 inertia rotations, 6x6 IK systems, 4x4 camera matrices) where
+# bf16 cancellation is catastrophic — e.g. the camera unprojection's
+# homogeneous w becomes exactly 0 and every ray goes NaN. Full-f32 precision
+# on these is essentially free; NN code can override locally.
+_jax.config.update('jax_default_matmul_precision', 'highest')
+
 from pybullet_multigoal_gym_tpu.config import EnvConfig, env_id
 from pybullet_multigoal_gym_tpu.envs.vec_env import VecMGEnv, make_vec_env
 from pybullet_multigoal_gym_tpu.adapter import GymStyleEnv
@@ -58,6 +67,7 @@ def make_env(task='reach', gripper='parallel_jaw', num_block=5, render=False,
         observation_cam_id=tuple(observation_cam_id), goal_cam_id=goal_cam_id,
         use_curriculum=use_curriculum,
         num_goals_to_generate=int(num_goals_to_generate),
+        camera_setup=EnvConfig.freeze_camera_setup(camera_setup),
     ).validate()
 
     eid = env_id(cfg, render=render)

@@ -55,7 +55,11 @@ class GymStyleEnv:
 
     def reset(self, test: bool = False):
         self._key, sub = jax.random.split(self._key)
-        self._state, obs = self.venv.reset(sub)
+        curr = None
+        if self._state is not None and self.cfg.family == 'multi_step':
+            s = self._state
+            curr = (s.curriculum_prob, s.goals_generated, s.curriculum_update)
+        self._state, obs = self.venv.reset(sub, curr)
         obs = {k: (v[0] if not isinstance(v, dict) else
                    {kk: vv[0] for kk, vv in v.items()})
                for k, v in _to_np(obs).items()}

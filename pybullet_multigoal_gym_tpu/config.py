@@ -44,6 +44,30 @@ class EnvConfig:
     num_goals_to_generate: int = 1_000_000
     render_width: int = 128
     render_height: int = 128
+    # user camera rig, frozen to a hashable tuple of (eye, target, up, w, h)
+    # tuples (reference passes a list of dicts, base_env.py:47-58)
+    camera_setup: Optional[Tuple] = None
+
+    @staticmethod
+    def freeze_camera_setup(setups):
+        """list-of-dicts (reference format) -> hashable nested tuples."""
+        if setups is None:
+            return None
+        out = []
+        for s in setups:
+            out.append((tuple(float(x) for x in s['cameraEyePosition']),
+                        tuple(float(x) for x in s['cameraTargetPosition']),
+                        tuple(float(x) for x in s['cameraUpVector']),
+                        int(s['render_width']), int(s['render_height'])))
+        return tuple(out)
+
+    @property
+    def camera_setup_dicts(self):
+        if self.camera_setup is None:
+            return None
+        return [dict(cameraEyePosition=list(e), cameraTargetPosition=list(t),
+                     cameraUpVector=list(u), render_width=w, render_height=h)
+                for (e, t, u, w, h) in self.camera_setup]
 
     # ------------------------------------------------------------ derived
     @property

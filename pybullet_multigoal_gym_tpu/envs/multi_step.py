@@ -76,7 +76,12 @@ class KukaMultiBlockEnv(KukaEnvBase):
         return gd
 
     # ------------------------------------------------------------------ reset
-    def reset(self, key):
+    def reset(self, key, curr=None):
+        """``curr``: optional (curriculum_prob, goals_generated,
+        curriculum_update) carried over from the previous episode — the
+        reference keeps these as instance attributes that persist across
+        resets (`kuka_multi_step_base_env.py:133-145`); the vec-env wrapper
+        and the gym adapter thread them through here."""
         cfg = self.cfg
         k_spawn, k_goal, k_next = jax.random.split(key, 3)
         tip_init = jnp.asarray(self.tip_initial, F32)
@@ -86,9 +91,10 @@ class KukaMultiBlockEnv(KukaEnvBase):
         phys = self._reset_phys(block_pos)
         state = self._base_env_state(phys, k_next, jnp.zeros((self.goal_dim,), F32),
                                      spawn_body_pos=block_pos, nc=self.nc)
-        # curriculum probability/counters persist across resets in the
-        # reference (they are instance attributes); the vec-env wrapper
-        # carries them over on auto-reset. A fresh reset starts at level 0.
+        if curr is not None:
+            state = state._replace(curriculum_prob=curr[0],
+                                   goals_generated=curr[1],
+                                   curriculum_update=curr[2])
         state = self._generate_goal(state, block_pos, new_target=True,
                                     key=k_goal)
         obs, state = self._get_obs(state)

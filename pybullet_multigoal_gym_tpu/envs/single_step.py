@@ -214,19 +214,75 @@ class KukaSingleStepEnv(KukaEnvBase):
         return state, self._get_obs(state)
 
     # ------------------------------------------------------------------- step
-    def step(self, state: core.EnvState, action):
+    # The step is split into decode -> physics -> finish so the vectorised
+    # wrapper can swap the physics phase for the batched Pallas kernel
+    # (ops/pallas_engine.py) while decode/finish stay vmapped XLA.
+    def step_decode(self, state: core.EnvState, action):
         cfg = self.cfg
         a = jnp.clip(jnp.asarray(action, F32), -1.0, 1.0)
         grip_ctrl = (self._grip_ctrl_from_action(a) if cfg.grasping
                      else self.gripper_abs_joint_limit)
         q_target, state = self._apply_arm_action(state, a)
-        phys = self.engine.control_step(
-            state.phys, self._controls(q_target, grip_ctrl))
-        state = state._replace(phys=phys, steps=state.steps + 1)
+        return state, q_target, self._grip_target(grip_ctrl)
+
+    def step_decode_pre(self, state: core.EnvState, action):
+        """Decode WITHOUT the IK solve — the vec wrapper batches IK through
+        the Pallas kernel (ops/pallas_ik.py) outside the vmap."""
+        cfg = self.cfg
+        a = jnp.clip(jnp.asarray(action, F32), -1.0, 1.0)
+        grip_ctrl = (self._grip_ctrl_from_action(a) if cfg.grasping
+                     else self.gripper_abs_joint_limit)
+        f_target = self._grip_target(grip_ctrl)
+        if cfg.joint_control:
+            state = state._replace(joint_target=state.joint_target
+                                   + a[:7] * 0.05)
+        else:
+            ee_target = jnp.clip(state.ee_target + a[:3] * 0.01,
+                                 jnp.asarray(self.ee_lower, F32),
+                                 jnp.asarray(self.ee_upper, F32))
+            state = state._replace(ee_target=ee_target)
+        return state, f_target
+
+    def get_pallas_ik(self, interpret=None):
+        from pybullet_multigoal_gym_tpu.ops.pallas_ik import PallasIK
+        if getattr(self, '_pallas_ik', None) is None:
+            # in-step IK is warm-started (the EE target moves <= 1 cm per
+            # action, kuka.py:208-220) — 8 DLS iterations reach the same
+            # <1e-6 m residual Bullet's residualThreshold=1e-5 early-exit
+            # does; the reference's 40 is a cold-start worst-case cap
+            self._pallas_ik = PallasIK(num_iters=8, interpret=interpret)
+        return self._pallas_ik
+
+    def step_finish(self, state: core.EnvState):
+        cfg = self.cfg
         obs = self._get_obs(state)
         reward, achieved = core.binary_or_dense_reward(
             obs['achieved_goal'], obs['desired_goal'],
             cfg.distance_threshold, cfg.binary_reward)
+        return obs, reward, achieved
+
+    @property
+    def supports_pallas(self):
+        return self.cfg.has_obj        # single free body + plane + fingers
+
+    def get_pallas_engine(self, interpret=None):
+        from pybullet_multigoal_gym_tpu.ops.pallas_engine import PallasEngine
+        if getattr(self, '_pallas_engine', None) is None:
+            self._pallas_engine = PallasEngine(
+                self.engine.spec, solver_iters=self.engine.solver_iters,
+                erp=self.engine.erp, slop=self.engine.slop,
+                interpret=interpret)
+        return self._pallas_engine
+
+    def step(self, state: core.EnvState, action):
+        state, q_target, f_target = self.step_decode(state, action)
+        phys = self.engine.control_step(
+            state.phys, D.Controls(
+                q_target=q_target, f_target=f_target,
+                door_motor_on=jnp.zeros((), bool),
+                door_target=jnp.zeros((), F32)))
+        state = state._replace(phys=phys, steps=state.steps + 1)
+        obs, reward, achieved = self.step_finish(state)
         return state, obs, reward, achieved
 
     # -------------------------------------------------------------------- obs

@@ -47,7 +47,7 @@ class VecMGEnv:
     """
 
     def __init__(self, cfg: EnvConfig, num_envs: int = 1, auto_reset: bool = True,
-                 jit: bool = True):
+                 jit: bool = True, use_pallas: Optional[bool] = None):
         cfg.validate()
         assert isinstance(num_envs, int) and num_envs >= 1, \
             'num_envs must be a positive int, got %r' % (num_envs,)
@@ -57,6 +57,13 @@ class VecMGEnv:
         self.core = _make_core(cfg)
         self.env_id = env_id(cfg)
         self.max_episode_steps = cfg.max_episode_steps
+        # batched Pallas physics: auto-on for supported families on TPU when
+        # the batch tiles evenly into (8,128) VPU blocks
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == 'tpu'
+        self.use_pallas = bool(use_pallas
+                               and getattr(self.core, 'supports_pallas', False)
+                               and num_envs % 1024 == 0)
 
         self.pipeline = None
         if cfg.image_observation or cfg.point_cloud:
@@ -72,20 +79,51 @@ class VecMGEnv:
             obs.update(img)
             return obs
 
-        def reset_fn(key):
+        is_multi_step = cfg.family == 'multi_step'
+
+        def reset_fn(key, curr=None):
             keys = jax.random.split(key, num_envs)
-            state, obs = jax.vmap(self.core.reset)(keys)
+            if curr is not None:
+                state, obs = jax.vmap(self.core.reset)(keys, curr)
+            else:
+                state, obs = jax.vmap(self.core.reset)(keys)
             return state, add_images(state, obs)
 
         def step_fn(state, action):
-            state, obs, reward, achieved = jax.vmap(self.core.step)(state, action)
+            if self.use_pallas:
+                from pybullet_multigoal_gym_tpu.ops import dynamics as _D
+                state, f_t = jax.vmap(self.core.step_decode_pre)(state, action)
+                if cfg.joint_control:
+                    q_t = state.joint_target
+                else:
+                    q_t = self.core.get_pallas_ik().solve(
+                        state.ee_target, q_init=state.phys.q,
+                        rest_pose=jnp.broadcast_to(
+                            jnp.asarray(self.core.rest_pose), (num_envs, 7)))
+                phys = self.core.get_pallas_engine().control_step(
+                    state.phys, _D.Controls(
+                        q_target=q_t, f_target=f_t,
+                        door_motor_on=jnp.zeros((num_envs,), bool),
+                        door_target=jnp.zeros((num_envs,), jnp.float32)))
+                state = state._replace(phys=phys, steps=state.steps + 1)
+                obs, reward, achieved = jax.vmap(self.core.step_finish)(state)
+            else:
+                state, obs, reward, achieved = jax.vmap(self.core.step)(
+                    state, action)
             obs = add_images(state, obs)
             done = state.steps >= cfg.max_episode_steps
             info = {'goal_achieved': achieved}
             if auto_reset:
                 def do_reset(s):
                     new_key, sub = jax.random.split(s.key)
-                    ns, _ = self.core.reset(sub)
+                    # curriculum bookkeeping persists across episodes
+                    # (reference instance attributes)
+                    if is_multi_step:
+                        ns, _ = self.core.reset(
+                            sub, (s.curriculum_prob, s.goals_generated,
+                                  s.curriculum_update))
+                    else:
+                        ns, _ = self.core.reset(sub)
                     return ns._replace(key=new_key)
                 reset_states = jax.vmap(do_reset)(state)
                 state = jax.tree_util.tree_map(
@@ -98,7 +136,9 @@ class VecMGEnv:
         self._step = jax.jit(step_fn) if jit else step_fn
 
     # ------------------------------------------------------------------- api
-    def reset(self, key):
+    def reset(self, key, curr=None):
+        if curr is not None:
+            return self._reset(key, curr)
         return self._reset(key)
 
     def step(self, state, action):

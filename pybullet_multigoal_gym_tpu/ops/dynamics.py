@@ -77,8 +77,12 @@ def _one_hot_axis(idx):
 class Engine:
     """Compiled physics for one SceneSpec. All spec data are trace constants."""
 
-    def __init__(self, spec: S.SceneSpec, solver_iters: int = 12,
+    def __init__(self, spec: S.SceneSpec, solver_iters: int = 8,
                  erp: float = 0.2, slop: float = 5e-4):
+        # solver_iters: Bullet runs 5 Gauss-Seidel iterations
+        # (base_env.py:216); this mass-splitting Jacobi solver converges a
+        # little slower per iteration, 8 keeps grasp/tower parity with margin
+        # (validated in tests/test_physics.py).
         self.spec = spec
         self.solver_iters = solver_iters
         self.erp = erp
@@ -421,40 +425,37 @@ class Engine:
             return (v_lin + dv, v_ang + dw, fqd + dfqd, door_qd + ddoor)
 
         def iteration(_, carry):
+            """Fused Jacobi iteration: one relative-velocity read, the normal
+            and both friction increments computed from it, ONE combined
+            impulse applied per side. 2.5x cheaper per iteration than the
+            sequential normal-then-friction variant (the solver loop is the
+            dispatch-bound hot path: ~10 segment_sums -> 4)."""
             v_lin, v_ang, fqd, door_qd, lam_n, lam_t1, lam_t2 = carry
             va = point_vel(type_a, idx_a, r_a, v_lin, v_ang, fqd, door_qd)
             vb = point_vel(type_b, idx_b, r_b, v_lin, v_ang, fqd, door_qd)
             vrel = va - vb
             vn = jnp.einsum('ci,ci->c', vrel, nrm)
-            dlam = jnp.where(solvable, -(vn + bias) / kn, 0.0)
-            new_lam = jnp.maximum(lam_n + dlam, 0.0)
-            dlam = new_lam - lam_n
-            lam_n = new_lam
-            imp = nrm * dlam[:, None]
+            dln = jnp.where(solvable, -(vn + bias) / kn, 0.0)
+            new_ln = jnp.maximum(lam_n + dln, 0.0)
+            dln = new_ln - lam_n
+            lam_n = new_ln
+            lim = mu * lam_n
+            vt1 = jnp.einsum('ci,ci->c', vrel, t1)
+            dlt1 = jnp.where(solvable, -vt1 / kt1, 0.0)
+            new_lt1 = jnp.clip(lam_t1 + dlt1, -lim, lim)
+            dlt1 = new_lt1 - lam_t1
+            lam_t1 = new_lt1
+            vt2 = jnp.einsum('ci,ci->c', vrel, t2)
+            dlt2 = jnp.where(solvable, -vt2 / kt2, 0.0)
+            new_lt2 = jnp.clip(lam_t2 + dlt2, -lim, lim)
+            dlt2 = new_lt2 - lam_t2
+            lam_t2 = new_lt2
+            imp = (nrm * dln[:, None] + t1 * dlt1[:, None]
+                   + t2 * dlt2[:, None])
             st = (v_lin, v_ang, fqd, door_qd)
             st = apply_impulse(imp, type_a, idx_a, r_a, 1.0, st)
             st = apply_impulse(imp, type_b, idx_b, r_b, -1.0, st)
             v_lin, v_ang, fqd, door_qd = st
-            # friction
-            va = point_vel(type_a, idx_a, r_a, v_lin, v_ang, fqd, door_qd)
-            vb = point_vel(type_b, idx_b, r_b, v_lin, v_ang, fqd, door_qd)
-            vrel = va - vb
-            lim = mu * lam_n
-            for t, kt, lam_name in ((t1, kt1, 0), (t2, kt2, 1)):
-                lam_t = lam_t1 if lam_name == 0 else lam_t2
-                vt = jnp.einsum('ci,ci->c', vrel, t)
-                dlt = jnp.where(solvable, -vt / kt, 0.0)
-                new_lt = jnp.clip(lam_t + dlt, -lim, lim)
-                dlt = new_lt - lam_t
-                if lam_name == 0:
-                    lam_t1 = new_lt
-                else:
-                    lam_t2 = new_lt
-                imp = t * dlt[:, None]
-                st = (v_lin, v_ang, fqd, door_qd)
-                st = apply_impulse(imp, type_a, idx_a, r_a, 1.0, st)
-                st = apply_impulse(imp, type_b, idx_b, r_b, -1.0, st)
-                v_lin, v_ang, fqd, door_qd = st
             return (v_lin, v_ang, fqd, door_qd, lam_n, lam_t1, lam_t2)
 
         zeros_c = jnp.zeros((nc,), dt32)
@@ -472,7 +473,12 @@ class Engine:
         return v_lin, v_ang, fqd, door_qd, fin_imp
 
     # ---------------------------------------------------------------- substep
-    def substep(self, state: PhysicsState, controls: Controls) -> PhysicsState:
+    def substep(self, state: PhysicsState, controls: Controls,
+                prev_finger_pos=None):
+        """One 2 ms substep. ``prev_finger_pos``: finger frame positions from
+        the previous substep's FK (threaded through the control_step carry so
+        only ONE FK chain runs per substep); None recomputes it (2 FK passes).
+        Returns (new_state, new_finger_pos)."""
         dt = DT_SUB
         # 1. arm servo (kinematic driver; Bullet POSITION_CONTROL semantics)
         q_err = controls.q_target - state.q
@@ -484,13 +490,15 @@ class Engine:
                      jnp.asarray(KM.JOINT_LIMIT_LOWER, jnp.float32),
                      jnp.asarray(KM.JOINT_LIMIT_UPPER, jnp.float32))
 
-        # 2. FK old/new for kinematic finger velocity
-        ee_old = fk.ee_frames(state.q, state.fq)
+        # 2. FK for the new configuration; kinematic finger velocity from the
+        # carried previous positions
+        if prev_finger_pos is None:
+            prev_finger_pos = fk.ee_frames(state.q, state.fq)['finger_pos']
         ee_new = fk.ee_frames(q, state.fq)
         # finger collision boxes are centred on the finger link frame
         finger_pos = ee_new['finger_pos']
         finger_rot = ee_new['finger_rot']
-        finger_kin_vel = (ee_new['finger_pos'] - ee_old['finger_pos']) / dt
+        finger_kin_vel = (finger_pos - prev_finger_pos) / dt
         finger_axis_w = quatm.rotate(finger_rot,
                                      jnp.asarray(KM.FINGER_AXIS, jnp.float32))
 
@@ -550,17 +558,25 @@ class Engine:
             body_pos=body_pos, body_quat=body_quat,
             body_linvel=v_lin, body_angvel=v_ang,
             door_q=door_q, door_qd=door_qd,
-            ee_contact_force=ee_force)
+            ee_contact_force=ee_force), finger_pos
 
     def control_step(self, state: PhysicsState, controls: Controls,
                      n_sim_calls: int = SIM_CALLS_PER_STEP) -> PhysicsState:
-        """One env-level action: n_sim_calls x 20 substeps (kuka.py:223-225)."""
+        """One env-level action: n_sim_calls x 20 substeps (kuka.py:223-225).
+
+        The finger FK frames thread through the scan carry (one FK chain per
+        substep); the scan is unrolled so XLA fuses several substeps into one
+        kernel dispatch group — the step is dispatch-bound, not FLOP-bound."""
         n = n_sim_calls * SUBSTEPS_PER_SIM
+        finger_pos0 = fk.ee_frames(state.q, state.fq)['finger_pos']
 
-        def body(s, _):
-            return self.substep(s, controls), None
+        def body(carry, _):
+            s, fp = carry
+            s, fp = self.substep(s, controls, fp)
+            return (s, fp), None
 
-        state, _ = jax.lax.scan(body, state, None, length=n)
+        (state, _), _ = jax.lax.scan(body, (state, finger_pos0), None,
+                                     length=n, unroll=5)
         return state
 
     # ------------------------------------------------------------------ init

@@ -1,0 +1,586 @@
+"""Pallas TPU kernel: the full 100-substep control step fused into ONE kernel.
+
+The XLA `Engine` (ops/dynamics.py) is dispatch-bound: each 2 ms substep
+lowers to hundreds of tiny kernels over (N, ...) arrays and a control step
+runs 100 of them (~150 ms at N=4096 on v5e). This module rebuilds the same
+physics as a single `pallas_call`, with the env batch laid out as (8, 128)
+VPU tiles: every per-env scalar is one tile, vectors are (3, 8, 128), and
+contact lanes stack on a leading axis. All 100 substeps run inside the
+kernel with state resident in VMEM — zero HBM round-trips, zero dispatch.
+
+Physics semantics are identical to ops/dynamics.py (same servo model, SAT
+box-box manifolds, mass-splitting fused Jacobi solver, Baumgarte bias,
+friction clamp) for the single-free-body scenes of the single-step family —
+the headline benchmark config (push, 4096 envs). Parity is asserted in
+tests/test_pallas_engine.py against the XLA engine.
+
+Scope: single_step scenes (1 box or cylinder object + plane + 2 fingers).
+Other families fall back to the XLA engine.
+"""
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pybullet_multigoal_gym_tpu.model import kuka_model as KM
+from pybullet_multigoal_gym_tpu.ops import dynamics as D
+from pybullet_multigoal_gym_tpu.ops import scene as S
+
+F32 = jnp.float32
+SUB, LANE = 8, 128
+TILE = SUB * LANE                   # 1024 envs per grid program
+
+# state row layout (ROWS, 8, 128)
+_Q, _QD, _FQ, _FQD = slice(0, 7), slice(7, 14), slice(14, 16), slice(16, 18)
+_BP, _BQ, _BV, _BW = slice(18, 21), slice(21, 25), slice(25, 28), slice(28, 31)
+_EEF = slice(31, 34)
+N_ROWS = 34
+# controls rows
+_CQT, _CFT = slice(0, 7), slice(7, 9)
+N_CTRL = 9
+
+
+# ---------------------------------------------------------------- tile algebra
+def _c(v):
+    """Constant broadcast to a tile."""
+    return jnp.full((SUB, LANE), float(v), F32)
+
+
+def _cv(xyz):
+    return jnp.stack([_c(xyz[0]), _c(xyz[1]), _c(xyz[2])])
+
+
+def _cq(wxyz):
+    return jnp.stack([_c(wxyz[0]), _c(wxyz[1]), _c(wxyz[2]), _c(wxyz[3])])
+
+
+def vdot(a, b):
+    return jnp.sum(a * b, axis=0)                   # (...,8,128)
+
+
+def vcross(a, b):
+    return jnp.stack([a[1] * b[2] - a[2] * b[1],
+                      a[2] * b[0] - a[0] * b[2],
+                      a[0] * b[1] - a[1] * b[0]])
+
+
+def qmul(q1, q2):
+    w1, x1, y1, z1 = q1
+    w2, x2, y2, z2 = q2
+    return jnp.stack([
+        w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+        w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+        w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+        w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2])
+
+
+def qrotate(q, v):
+    w = q[0:1]
+    u = q[1:4]
+    uv = vcross(u, v)
+    return v + 2.0 * (w * uv + vcross(u, uv))
+
+
+def qrotate_inv(q, v):
+    qc = jnp.concatenate([q[0:1], -q[1:4]])
+    return qrotate(qc, v)
+
+
+def qmat(q):
+    """Rotation matrix rows from quaternion: returns (3,3,8,128)."""
+    w, x, y, z = q
+    return jnp.stack([
+        jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)]),
+        jnp.stack([2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)]),
+        jnp.stack([2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)]),
+    ])
+
+
+def mat3vec(R, v):
+    """R (3,3,...) @ v (3,...) -> (3,...) without dot_general (Mosaic can't
+    lower batched dots)."""
+    return jnp.stack([sum(R[i, j] * v[j] for j in range(3)) for i in range(3)])
+
+
+def qnormalize(q):
+    n = jax.lax.rsqrt(jnp.maximum(jnp.sum(q * q, axis=0), 1e-12))
+    return q * n
+
+
+# --------------------------------------------------------------------- FK
+from pybullet_multigoal_gym_tpu.ops import fk as _fk
+
+_OQ = np.asarray(_fk._ORIGIN_QUAT_NP)
+_OXYZ = np.asarray(KM.JOINT_ORIGIN_XYZ)
+
+
+def fk_fingers(q_rows, fq_rows):
+    """Tile FK: gripper link-7 frame + finger box centres.
+
+    Mirrors ops/fk.py:ee_frames for the pieces the physics needs."""
+    p = _cv([0.0, 0.0, 0.0])
+    r = _cq([1.0, 0.0, 0.0, 0.0])
+    for j in range(7):
+        p = p + qrotate(r, _cv(_OXYZ[j]))
+        r = qmul(r, _cq(_OQ[j]))
+        half = q_rows[j] * 0.5
+        jq = jnp.stack([jnp.cos(half), jnp.zeros_like(half),
+                        jnp.zeros_like(half), jnp.sin(half)])
+        r = qmul(r, jq)
+    gbase = p + qrotate(r, _cv(KM.GRIPPER_BASE_OFFSET))
+    fpos = []
+    for f in range(2):
+        loc = (_cv(KM.FINGER_ORIGIN[f])
+               + _cv(KM.FINGER_AXIS[f]) * fq_rows[f][None])
+        fpos.append(gbase + qrotate(r, loc))
+    axis_w = [qrotate(r, _cv(KM.FINGER_AXIS[f])) for f in range(2)]
+    return r, fpos, axis_w
+
+
+_CORNER_SIGNS = [(sx, sy, sz) for sx in (-1.0, 1.0) for sy in (-1.0, 1.0)
+                 for sz in (-1.0, 1.0)]
+
+
+class _Lane(NamedTuple):
+    pt: jnp.ndarray        # (3,8,128)
+    nrm: jnp.ndarray       # (3,8,128)
+    pen: jnp.ndarray       # (8,128)
+    active: jnp.ndarray    # (8,128) f32 0/1
+    mu: float
+    is_finger: int         # -1 = body-vs-world, 0/1 = finger index (side B)
+
+
+def _box_plane_lanes(bp, bq, half, plane_z, mu):
+    R = qmat(bq)
+    lanes = []
+    for s in _CORNER_SIGNS:
+        loc = _cv([s[0] * half[0], s[1] * half[1], s[2] * half[2]])
+        corner = bp + mat3vec(R, loc)
+        pen = _c(plane_z) - corner[2]
+        lanes.append(_Lane(pt=corner, nrm=_cv([0.0, 0.0, 1.0]), pen=pen,
+                           active=(pen > -1e-4).astype(F32), mu=mu,
+                           is_finger=-1))
+    return lanes
+
+
+def _cyl_plane_lanes(bp, bq, radius, half_len, plane_z, mu):
+    lanes = []
+    for k in range(4):
+        ang = 2.0 * np.pi * k / 4
+        loc = _cv([radius * np.cos(ang), radius * np.sin(ang), -half_len])
+        pt = bp + qrotate(bq, loc)
+        pen = _c(plane_z) - pt[2]
+        lanes.append(_Lane(pt=pt, nrm=_cv([0.0, 0.0, 1.0]), pen=pen,
+                           active=(pen > -1e-4).astype(F32), mu=mu,
+                           is_finger=-1))
+    return lanes
+
+
+def _sat_box_box_lanes(ca, Ra, ha, cb, Rb, hb, mu, finger_idx):
+    """SAT box-box manifold, port of ops/contact.py:box_box onto tiles.
+
+    A = free body, B = finger `finger_idx`. 16 lanes."""
+    # 6 candidate axes: rows of Ra and Rb... axes are the COLUMN vectors of
+    # R (world direction of each local axis) = rows of R^T -> R[:, k]
+    axes = [Ra[:, k] for k in range(3)] + [Rb[:, k] for k in range(3)]
+    t = ca - cb
+
+    def proj(R, h, L):
+        # sum_i h_i |(R col_i) . L|
+        return sum(abs(vdot(R[:, i], L)) * h[i] for i in range(3))
+
+    best_overlap = None
+    best_axis = None
+    sat_ok = None
+    for L in axes:
+        ra = proj(Ra, ha, L)
+        rb = proj(Rb, hb, L)
+        tl = vdot(t, L)
+        overlap = ra + rb - jnp.abs(tl)
+        ok = (overlap > -1e-4).astype(F32)
+        sat_ok = ok if sat_ok is None else sat_ok * ok
+        signed = jnp.where(tl >= 0, 1.0, -1.0)
+        if best_overlap is None:
+            best_overlap, best_axis = overlap, L * signed[None]
+        else:
+            better = overlap < best_overlap
+            best_axis = jnp.where(better[None], L * signed[None], best_axis)
+            best_overlap = jnp.where(better, overlap, best_overlap)
+    n = best_axis                                    # points B -> A
+    ra_n = proj(Ra, ha, n)
+    rb_n = proj(Rb, hb, n)
+
+    lanes = []
+    # corners of A tested in B; pen = rb_n - n.(p - cb)
+    for s in _CORNER_SIGNS:
+        loc = _cv([s[0] * ha[0], s[1] * ha[1], s[2] * ha[2]])
+        p = ca + mat3vec(Ra, loc)
+        rel = p - cb
+        # SDF inside test in B's local frame
+        pl_ = jnp.stack([vdot(Rb[:, i], rel) for i in range(3)])
+        inside = ((hb[0] - jnp.abs(pl_[0]) > -1e-4).astype(F32)
+                  * (hb[1] - jnp.abs(pl_[1]) > -1e-4).astype(F32)
+                  * (hb[2] - jnp.abs(pl_[2]) > -1e-4).astype(F32))
+        pen = rb_n - vdot(n, rel)
+        lanes.append(_Lane(pt=p, nrm=n, pen=pen, active=inside * sat_ok,
+                           mu=mu, is_finger=finger_idx))
+    # corners of B tested in A; pen = n.(p - ca) + ra_n
+    for s in _CORNER_SIGNS:
+        loc = _cv([s[0] * hb[0], s[1] * hb[1], s[2] * hb[2]])
+        p = cb + mat3vec(Rb, loc)
+        rel = p - ca
+        pl_ = jnp.stack([vdot(Ra[:, i], rel) for i in range(3)])
+        inside = ((ha[0] - jnp.abs(pl_[0]) > -1e-4).astype(F32)
+                  * (ha[1] - jnp.abs(pl_[1]) > -1e-4).astype(F32)
+                  * (ha[2] - jnp.abs(pl_[2]) > -1e-4).astype(F32))
+        pen = vdot(n, rel) + ra_n
+        lanes.append(_Lane(pt=p, nrm=n, pen=pen, active=inside * sat_ok,
+                           mu=mu, is_finger=finger_idx))
+    return lanes
+
+
+def _box_cyl_lanes(cb, Rb, hb, cc, radius, half_len, mu, finger_idx):
+    """Finger box (B) vs upright cylinder (A): 2 lanes
+    (port of ops/contact.py:box_cylinder_upright)."""
+    rel = cc - cb
+    c_local = jnp.stack([vdot(Rb[:, i], rel) for i in range(3)])
+    clamped = jnp.stack([jnp.clip(c_local[i], -hb[i], hb[i]) for i in range(3)])
+    delta = c_local - clamped
+    d_xy = jnp.sqrt(delta[0] ** 2 + delta[1] ** 2)
+    lat_pen = _c(radius) - d_xy
+    inv = jnp.where(d_xy > 1e-6, 1.0 / jnp.maximum(d_xy, 1e-6), 0.0)
+    nx = jnp.where(d_xy > 1e-6, delta[0] * inv, 1.0)
+    ny = jnp.where(d_xy > 1e-6, delta[1] * inv, 0.0)
+    n_loc = jnp.stack([nx, ny, jnp.zeros_like(nx)])
+    n_lat = mat3vec(Rb, n_loc)
+    lat_act = ((lat_pen > -1e-4)
+               & (jnp.abs(c_local[2]) < hb[2] + half_len)).astype(F32)
+    p_lat = cc - n_lat * radius
+    vert_pen = _c(hb[2] + half_len) - jnp.abs(c_local[2])
+    in_xy = ((jnp.abs(c_local[0]) < hb[0] + radius)
+             & (jnp.abs(c_local[1]) < hb[1] + radius)).astype(F32)
+    vert_act = (vert_pen > -1e-4).astype(F32) * in_xy
+    sz = jnp.where(c_local[2] >= 0, 1.0, -1.0)
+    n_vert = mat3vec(Rb, jnp.stack([jnp.zeros_like(sz),
+                                      jnp.zeros_like(sz), sz]))
+    p_vert = cc - n_vert * half_len
+    return [
+        _Lane(pt=p_lat, nrm=n_lat, pen=lat_pen, active=lat_act, mu=mu,
+              is_finger=finger_idx),
+        _Lane(pt=p_vert, nrm=n_vert, pen=vert_pen, active=vert_act, mu=mu,
+              is_finger=finger_idx),
+    ]
+
+
+# ------------------------------------------------------------------ the kernel
+def _build_kernel(spec: S.SceneSpec, solver_iters: int, erp: float,
+                  slop: float, n_substeps: int):
+    assert spec.n_bodies == 1 and spec.ns_static == 0 and spec.door is None, \
+        'pallas engine v1 supports single-free-body scenes only'
+    a = spec.np_arrays()
+    geom_type = int(a['geom_type'][0])
+    half = tuple(float(x) for x in a['geom_half'][0])
+    mass = float(a['body_mass'][0])
+    inv_mass = 1.0 / mass
+    fric = float(a['body_friction'][0])
+    inertia = S.body_inertia_diag(mass, half, geom_type)
+    inv_inertia = (1.0 / inertia).astype(np.float32)
+    plane_mu = fric * spec.plane_friction
+    finger_mu = fric * 1.0
+    fhalf = tuple(float(x) for x in KM.FINGER_HALF_EXTENTS)
+    finger_mass = KM.FINGER_MASS * KM.FINGER_INERTIA_SCALING
+    dt = D.DT_SUB
+    jl_lo = np.asarray(KM.JOINT_LIMIT_LOWER, np.float32)
+    jl_hi = np.asarray(KM.JOINT_LIMIT_UPPER, np.float32)
+    arm_inertia = np.asarray(KM.ARM_EFFECTIVE_INERTIA, np.float32)
+
+    def substep(carry, qt_rows, ft_rows):
+        (q, qd, fq, fqd, bp, bq, bv, bw, prev_f0, prev_f1) = carry
+
+        # 1. arm servo
+        new_q, new_qd = [], []
+        for j in range(7):
+            err = qt_rows[j] - q[j]
+            v_des = jnp.clip(D.ARM_SERVO_RATE * err, -D.ARM_VEL_LIMIT,
+                             D.ARM_VEL_LIMIT)
+            dv = KM.ARM_PD_FORCE * dt / arm_inertia[j]
+            qdj = qd[j] + jnp.clip(v_des - qd[j], -dv, dv)
+            qj = jnp.clip(q[j] + qdj * dt, jl_lo[j], jl_hi[j])
+            new_q.append(qj)
+            new_qd.append(qdj)
+        q = jnp.stack(new_q)
+        qd = jnp.stack(new_qd)
+
+        # 2. FK + finger kinematic velocity
+        r7, fpos, faxis = fk_fingers(q, fq)
+        fkin = [(fpos[0] - prev_f0) / dt, (fpos[1] - prev_f1) / dt]
+
+        # 3. finger servo
+        new_fqd = []
+        for f in range(2):
+            err = ft_rows[f] - fq[f]
+            v_des = jnp.clip(D.ARM_SERVO_RATE * err, -D.FINGER_VEL_LIMIT,
+                             D.FINGER_VEL_LIMIT)
+            dv = KM.FINGER_PD_FORCE * dt / finger_mass
+            new_fqd.append(fqd[f] + jnp.clip(v_des - fqd[f], -dv, dv))
+        fqd = jnp.stack(new_fqd)
+
+        # 4. gravity (no .at[] — scatter is unsupported in Mosaic)
+        bv = jnp.stack([bv[0], bv[1], bv[2] - D.GRAVITY * dt])
+
+        # 5. contacts
+        Ra = qmat(bq)
+        Rb = qmat(r7)
+        if geom_type == S.BOX:
+            lanes = _box_plane_lanes(bp, bq, half, spec.plane_z, plane_mu)
+            for f in range(2):
+                lanes += _sat_box_box_lanes(bp, Ra, half, fpos[f], Rb, fhalf,
+                                            finger_mu, f)
+        else:
+            lanes = _cyl_plane_lanes(bp, bq, half[0], half[2], spec.plane_z,
+                                     plane_mu)
+            for f in range(2):
+                lanes += _box_cyl_lanes(fpos[f], Rb, fhalf, bp, half[0],
+                                        half[2], finger_mu, f)
+
+        # stack lanes: (L,...). Lane constants (mu, finger masks) must be
+        # built from SCALAR literals — pallas kernels may not capture
+        # materialised numpy/jnp constant arrays.
+        L = len(lanes)
+        pts = jnp.stack([l.pt for l in lanes])          # (L,3,8,128)
+        nrm = jnp.stack([l.nrm for l in lanes])
+        pen = jnp.stack([l.pen for l in lanes])         # (L,8,128)
+        act = jnp.stack([l.active for l in lanes])
+
+        def lane_const(vals, extra_dim=False):
+            # full (8,128) tiles per lane: Mosaic cannot broadcast a
+            # (L,1,1) vector onto (L,8,128) tiled registers
+            shape = (1, SUB, LANE) if extra_dim else (SUB, LANE)
+            return jnp.stack([jnp.full(shape, float(v), F32) for v in vals])
+
+        mu = lane_const([l.mu for l in lanes])
+        fin_id = [l.is_finger for l in lanes]
+        is_fin = [lane_const([1.0 if fi == f else 0.0 for fi in fin_id])
+                  for f in range(2)]
+        is_fin_v = [lane_const([1.0 if fi == f else 0.0 for fi in fin_id],
+                               extra_dim=True) for f in range(2)]
+        any_fin = lane_const([1.0 if fi >= 0 else 0.0 for fi in fin_id])
+        any_fin_v = lane_const([1.0 if fi >= 0 else 0.0 for fi in fin_id],
+                               extra_dim=True)
+
+        # 6. solve (fused Jacobi, mass splitting — mirrors dynamics._solve)
+        # inv_I_w[i,k] = sum_j Ra[i,j] * invI_j * Ra[k,j] (python-scalar invI)
+        inv_I_w = jnp.stack([
+            jnp.stack([
+                sum(Ra[i, j] * float(inv_inertia[j]) * Ra[k, j]
+                    for j in range(3))
+                for k in range(3)])
+            for i in range(3)])                              # (3,3,8,128)
+        r_a = pts - bp[None]
+        # tangent frame
+        up = jnp.where(jnp.abs(nrm[:, 2:3]) < 0.9,
+                       jnp.stack([jnp.zeros_like(pen), jnp.zeros_like(pen),
+                                  jnp.ones_like(pen)], 1),
+                       jnp.stack([jnp.ones_like(pen), jnp.zeros_like(pen),
+                                  jnp.zeros_like(pen)], 1))
+        t1 = jnp.stack([nrm[:, 1] * up[:, 2] - nrm[:, 2] * up[:, 1],
+                        nrm[:, 2] * up[:, 0] - nrm[:, 0] * up[:, 2],
+                        nrm[:, 0] * up[:, 1] - nrm[:, 1] * up[:, 0]], 1)
+        t1 = t1 * jax.lax.rsqrt(jnp.maximum(jnp.sum(t1 * t1, 1, keepdims=True),
+                                            1e-18))
+        t2 = jnp.stack([nrm[:, 1] * t1[:, 2] - nrm[:, 2] * t1[:, 1],
+                        nrm[:, 2] * t1[:, 0] - nrm[:, 0] * t1[:, 2],
+                        nrm[:, 0] * t1[:, 1] - nrm[:, 1] * t1[:, 0]], 1)
+
+        body_count = jnp.maximum(jnp.sum(act, 0), 1.0)
+        fin_count = [jnp.maximum(jnp.sum(act * is_fin[f], 0), 1.0)
+                     for f in range(2)]
+
+        faxis_l = jnp.stack([faxis[0], faxis[1]])        # (2,3,8,128)
+        lane_axis = (faxis_l[0][None] * is_fin_v[0]
+                     + faxis_l[1][None] * is_fin_v[1])   # (L,3,8,128)
+        lane_fin_count = (fin_count[0][None] * is_fin[0]
+                          + fin_count[1][None] * is_fin[1] + (1.0 - any_fin))
+
+        def k_dir(d):
+            rxd = jnp.stack([r_a[:, 1] * d[:, 2] - r_a[:, 2] * d[:, 1],
+                             r_a[:, 2] * d[:, 0] - r_a[:, 0] * d[:, 2],
+                             r_a[:, 0] * d[:, 1] - r_a[:, 1] * d[:, 0]], 1)
+            Iw_rxd = jnp.stack(
+                [sum(inv_I_w[i, j] * rxd[:, j] for j in range(3))
+                 for i in range(3)], axis=1)
+            k_body = (inv_mass + jnp.sum(rxd * Iw_rxd, 1)) * body_count[None]
+            da = jnp.sum(d * lane_axis, 1)
+            k_fin = (da * da / finger_mass) * lane_fin_count * any_fin
+            return k_body + k_fin
+
+        kn = jnp.maximum(k_dir(nrm), 1e-8)
+        kt1 = jnp.maximum(k_dir(t1), 1e-8)
+        kt2 = jnp.maximum(k_dir(t2), 1e-8)
+        solvable = act
+        bias = -(erp / dt) * jnp.maximum(pen - slop, 0.0)
+
+        def point_vel(bv_, bw_, fqd_):
+            v_body = bv_[None] + jnp.stack(
+                [bw_[1][None] * r_a[:, 2] - bw_[2][None] * r_a[:, 1],
+                 bw_[2][None] * r_a[:, 0] - bw_[0][None] * r_a[:, 2],
+                 bw_[0][None] * r_a[:, 1] - bw_[1][None] * r_a[:, 0]], 1)
+            fkin_l = jnp.stack([fkin[0], fkin[1]])
+            v_fin = ((fkin_l[0] + faxis_l[0] * fqd_[0][None])[None]
+                     * is_fin_v[0]
+                     + (fkin_l[1] + faxis_l[1] * fqd_[1][None])[None]
+                     * is_fin_v[1])
+            # body velocity at the point minus the other side's velocity
+            return v_body - v_fin
+
+        def iteration(_, scarry):
+            bv_, bw_, fqd_, ln, lt1, lt2 = scarry
+            vrel = point_vel(bv_, bw_, fqd_)
+            vn = jnp.sum(vrel * nrm, 1)
+            dln = jnp.where(solvable > 0, -(vn + bias) / kn, 0.0)
+            nln = jnp.maximum(ln + dln, 0.0)
+            dln = nln - ln
+            lim = mu * nln
+            vt1 = jnp.sum(vrel * t1, 1)
+            dlt1 = jnp.where(solvable > 0, -vt1 / kt1, 0.0)
+            nlt1 = jnp.clip(lt1 + dlt1, -lim, lim)
+            dlt1 = nlt1 - lt1
+            vt2 = jnp.sum(vrel * t2, 1)
+            dlt2 = jnp.where(solvable > 0, -vt2 / kt2, 0.0)
+            nlt2 = jnp.clip(lt2 + dlt2, -lim, lim)
+            dlt2 = nlt2 - lt2
+            imp = nrm * dln[:, None] + t1 * dlt1[:, None] + t2 * dlt2[:, None]
+            # apply to body (side A, +imp)
+            bv_ = bv_ + jnp.sum(imp, 0) * inv_mass
+            ang = jnp.stack([r_a[:, 1] * imp[:, 2] - r_a[:, 2] * imp[:, 1],
+                             r_a[:, 2] * imp[:, 0] - r_a[:, 0] * imp[:, 2],
+                             r_a[:, 0] * imp[:, 1] - r_a[:, 1] * imp[:, 0]], 1)
+            bw_ = bw_ + mat3vec(inv_I_w, jnp.sum(ang, 0))
+            # apply to fingers (side B, -imp along finger axis)
+            dfq = jnp.sum(imp * lane_axis, 1) / finger_mass
+            fqd_ = jnp.stack([
+                fqd_[0] - jnp.sum(dfq * is_fin[0], 0),
+                fqd_[1] - jnp.sum(dfq * is_fin[1], 0)])
+            return bv_, bw_, fqd_, nln, nlt1, nlt2
+
+        zeros_l = jnp.zeros_like(pen)
+        bv_, bw_, fqd_, ln, lt1, lt2 = jax.lax.fori_loop(
+            0, solver_iters, iteration,
+            (bv, bw, fqd, zeros_l, zeros_l, zeros_l))
+
+        # EE force sensor: total impulse applied onto the fingers / dt
+        tot_imp = (nrm * ln[:, None] + t1 * lt1[:, None] + t2 * lt2[:, None])
+        fin_imp = -jnp.sum(tot_imp * any_fin_v, 0)
+        ee_force = fin_imp / dt
+
+        # 7. integrate
+        bp = bp + bv_ * dt
+        w_norm = jnp.sqrt(jnp.maximum(jnp.sum(bw_ * bw_, 0), 1e-18))
+        half_ang = w_norm * dt * 0.5
+        s = jnp.where(w_norm > 1e-9, jnp.sin(half_ang) / w_norm, 0.0)
+        dq_rot = jnp.concatenate([jnp.cos(half_ang)[None], bw_ * s[None]])
+        bq = qnormalize(qmul(dq_rot, bq))
+        fq = jnp.clip(fq + fqd_ * dt, -KM.FINGER_LIMIT, KM.FINGER_LIMIT)
+
+        return (q, qd, fq, fqd_, bp, bq, bv_, bw_, fpos[0], fpos[1]), ee_force
+
+    def kernel(state_ref, ctrl_ref, out_ref):
+        s = state_ref[:]
+        ctl = ctrl_ref[:]
+        qt = ctl[_CQT]
+        ft = ctl[_CFT]
+        q, qd, fq, fqd = s[_Q], s[_QD], s[_FQ], s[_FQD]
+        bp, bq, bv, bw = s[_BP], s[_BQ], s[_BV], s[_BW]
+        _, fpos0, _ = fk_fingers(q, fq)
+
+        def body(i, carry):
+            new_carry, ee = substep(carry[0], qt, ft)
+            return (new_carry, ee)
+
+        carry = ((q, qd, fq, fqd, bp, bq, bv, bw, fpos0[0], fpos0[1]),
+                 jnp.zeros((3, SUB, LANE), F32))
+        carry = jax.lax.fori_loop(0, n_substeps, body, carry)
+        (q, qd, fq, fqd, bp, bq, bv, bw, _, _), ee = carry
+        out_ref[:] = jnp.concatenate([q, qd, fq, fqd, bp, bq, bv, bw, ee])
+
+    return kernel
+
+
+class PallasEngine:
+    """Batched drop-in for Engine.control_step on single-free-body scenes.
+
+    Operates on BATCHED PhysicsState pytrees (leading env axis), unlike the
+    per-env `Engine` which is vmapped outside. The env batch must be a
+    multiple of 1024 (one (8,128) VPU tile per grid program)."""
+
+    def __init__(self, spec: S.SceneSpec, solver_iters: int = 8,
+                 erp: float = 0.2, slop: float = 5e-4,
+                 interpret: bool = None):
+        self.spec = spec
+        self.solver_iters = solver_iters
+        self.erp = erp
+        self.slop = slop
+        if interpret is None:
+            interpret = jax.default_backend() != 'tpu'
+        self.interpret = interpret
+        self._kernels = {}
+
+    def _get_kernel(self, n_substeps):
+        if n_substeps not in self._kernels:
+            self._kernels[n_substeps] = _build_kernel(
+                self.spec, self.solver_iters, self.erp, self.slop, n_substeps)
+        return self._kernels[n_substeps]
+
+    def control_step(self, state: D.PhysicsState, controls: D.Controls,
+                     n_sim_calls: int = D.SIM_CALLS_PER_STEP,
+                     n_substeps: int = None) -> D.PhysicsState:
+        n_sub = (n_substeps if n_substeps is not None
+                 else n_sim_calls * D.SUBSTEPS_PER_SIM)
+        N = state.q.shape[0]
+        assert N % TILE == 0, 'pallas engine needs num_envs %% 1024 == 0'
+        G = N // TILE
+
+        def pack(rows):
+            # (N, k) -> (k, G*8, 128)
+            x = jnp.concatenate([r.reshape(N, -1) for r in rows], axis=-1)
+            return x.reshape(G, SUB, LANE, x.shape[-1]).transpose(3, 0, 1, 2) \
+                    .reshape(-1, G * SUB, LANE)
+
+        sin = pack([state.q, state.qd, state.fq, state.fqd, state.body_pos[:, 0],
+                    state.body_quat[:, 0], state.body_linvel[:, 0],
+                    state.body_angvel[:, 0], state.ee_contact_force])
+        cin = pack([controls.q_target, controls.f_target])
+
+        kernel = self._get_kernel(n_sub)
+        out = pl.pallas_call(
+            kernel,
+            grid=(G,),
+            in_specs=[
+                pl.BlockSpec((N_ROWS, SUB, LANE), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((N_CTRL, SUB, LANE), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((N_ROWS, SUB, LANE), lambda i: (0, i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((N_ROWS, G * SUB, LANE), F32),
+            interpret=self.interpret,
+        )(sin, cin)
+
+        # unpack (34, G*8, 128) -> per-field (N, ...)
+        flat = out.reshape(N_ROWS, G, SUB, LANE).transpose(1, 2, 3, 0) \
+                  .reshape(N, N_ROWS)
+        return D.PhysicsState(
+            q=flat[:, 0:7], qd=flat[:, 7:14],
+            fq=flat[:, 14:16], fqd=flat[:, 16:18],
+            body_pos=flat[:, 18:21][:, None],
+            body_quat=flat[:, 21:25][:, None],
+            body_linvel=flat[:, 25:28][:, None],
+            body_angvel=flat[:, 28:31][:, None],
+            door_q=state.door_q, door_qd=state.door_qd,
+            ee_contact_force=flat[:, 31:34])

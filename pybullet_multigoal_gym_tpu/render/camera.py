@@ -3,6 +3,7 @@
 (`/root/reference/pybullet_multigoal_gym/envs/base_envs/base_env.py:47-76,
 222-252`). FOV 60, near 0.1, far 100 throughout."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -76,12 +77,45 @@ def hand_camera_setup(hand_cam_pos, tip_pos, tracking=False):
     }
 
 
+def view_inverse(V):
+    """Closed-form inverse of a rigid look-at matrix: [R|t]^-1 = [R^T|-R^T t].
+
+    `jnp.linalg.inv` is avoided throughout the renderer: a single 4x4 LU
+    inverse compiles pathologically (minutes, NaN rays) on the TPU backend."""
+    R = V[:3, :3]
+    t = V[:3, 3]
+    top = jnp.concatenate([R.T, (-R.T @ t)[:, None]], axis=1)
+    return jnp.concatenate([top, jnp.array([[0.0, 0, 0, 1]], V.dtype)], axis=0)
+
+
+def projection_inverse(P):
+    """Closed-form inverse of the FOV projection matrix
+    [[a,0,0,0],[0,b,0,0],[0,0,c,d],[0,0,-1,0]]."""
+    a, b, c, d = P[0, 0], P[1, 1], P[2, 2], P[2, 3]
+    z = jnp.zeros((), P.dtype)
+    o = jnp.ones((), P.dtype)
+    return jnp.stack([
+        jnp.stack([1.0 / a, z, z, z]),
+        jnp.stack([z, 1.0 / b, z, z]),
+        jnp.stack([z, z, z, -o]),
+        jnp.stack([z, z, 1.0 / d, c / d]),
+    ])
+
+
+def pv_inverse(V, P):
+    """(P @ V)^-1 = V^-1 @ P^-1, both closed-form. HIGHEST precision: in
+    bf16 the w-row entries (~+-5) round such that the far-plane homogeneous
+    w is exactly 0 and all rays go NaN."""
+    return jnp.matmul(view_inverse(V), projection_inverse(P),
+                      precision=jax.lax.Precision.HIGHEST)
+
+
 def pixel_rays(width, height, V, P):
     """Camera-through-pixel rays in world space.
 
     Returns (origins (H,W,3), directions (H,W,3)). Pixel (0,0) is the top-left
     like PyBullet's image layout."""
-    inv = jnp.linalg.inv(P @ V)
+    inv = pv_inverse(V, P)
     xs = (2.0 * (jnp.arange(width, dtype=jnp.float32) + 0.5) - width) / width
     ys = -(2.0 * (jnp.arange(height, dtype=jnp.float32) + 0.5) - height) / height
     gx, gy = jnp.meshgrid(xs, ys)                  # (H,W)

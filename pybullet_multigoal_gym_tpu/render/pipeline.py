@@ -27,6 +27,8 @@ class RenderPipeline:
         cfg = env.cfg
         self.env = env
         self.cfg = cfg
+        if camera_setup is None:
+            camera_setup = cfg.camera_setup_dicts
         setups = list(camera_setup) if camera_setup is not None \
             else C.default_camera_setup(cfg.render_width, cfg.render_height)
         setups.append(C.top_down_camera_setup())

@@ -172,7 +172,7 @@ def render_pcd(depth_float, V, P, width, height, step=2):
     """Point-cloud back-projection, port of `_render_pcd`
     (base_env.py:170-195): stride-2 pixel unprojection through inv(P@V).
     Fully vectorised instead of the reference's Python double loop."""
-    inv = jnp.linalg.inv(P @ V)
+    inv = cam.pv_inverse(V, P)
     ws = jnp.arange(0, width, step)
     hs = jnp.arange(0, height, step)
     gw, gh = jnp.meshgrid(ws, hs)
