@@ -107,6 +107,42 @@ class KukaInsertionEnv(KukaEnvBase):
             cfg.distance_threshold, cfg.binary_reward)
         return state, obs, reward, achieved
 
+    # ---------------------------------------------------- pallas phase hooks
+    def step_decode_pre(self, state, action):
+        """6-DoF decode without IK (vec wrapper batches IK with the rotation
+        target from state.ee_target_rot)."""
+        a = jnp.clip(jnp.asarray(action, F32), -1.0, 1.0)
+        grip_ctrl = self._grip_ctrl_from_action(a)
+        f_target = self._grip_target(grip_ctrl)
+        ee_target = jnp.clip(state.ee_target + a[:3] * 0.01,
+                             jnp.asarray(self.ee_lower, F32),
+                             jnp.asarray(self.ee_upper, F32))
+        ee_rot = state.ee_target_rot + a[3:6] * 0.05
+        state = state._replace(ee_target=ee_target, ee_target_rot=ee_rot)
+        return state, f_target
+
+    def step_finish(self, state: core.EnvState):
+        obs, state = self._get_obs(state)
+        reward, achieved = core.binary_or_dense_reward(
+            obs['achieved_goal'], obs['desired_goal'],
+            self.cfg.distance_threshold, self.cfg.binary_reward)
+        return state, obs, reward, achieved
+
+    @property
+    def supports_pallas(self):
+        from pybullet_multigoal_gym_tpu.ops import pallas_multibody as PM
+        return PM.supports_scene(self.engine.spec)
+
+    def get_pallas_engine(self, interpret=None):
+        from pybullet_multigoal_gym_tpu.ops.pallas_multibody import (
+            PallasMultiBodyEngine)
+        if getattr(self, '_pallas_engine', None) is None:
+            self._pallas_engine = PallasMultiBodyEngine(
+                self.engine.spec, solver_iters=self.engine.solver_iters,
+                erp=self.engine.erp, slop=self.engine.slop,
+                interpret=interpret)
+        return self._pallas_engine
+
     # -------------------------------------------------------------------- obs
     def _get_obs(self, state: core.EnvState):
         """`kuka_insertion_base_env.py:142-208`."""

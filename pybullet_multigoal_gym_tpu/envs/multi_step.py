@@ -120,6 +120,29 @@ class KukaMultiBlockEnv(KukaEnvBase):
             cfg.distance_threshold, cfg.binary_reward)
         return state, obs, reward, achieved
 
+    # ---------------------------------------------------- pallas phase hooks
+    def step_finish(self, state: core.EnvState):
+        obs, state = self._get_obs(state)
+        reward, achieved = core.binary_or_dense_reward(
+            obs['achieved_goal'], obs['desired_goal'],
+            self.cfg.distance_threshold, self.cfg.binary_reward)
+        return state, obs, reward, achieved
+
+    @property
+    def supports_pallas(self):
+        from pybullet_multigoal_gym_tpu.ops import pallas_multibody as PM
+        return PM.supports_scene(self.engine.spec)
+
+    def get_pallas_engine(self, interpret=None):
+        from pybullet_multigoal_gym_tpu.ops.pallas_multibody import (
+            PallasMultiBodyEngine)
+        if getattr(self, '_pallas_engine', None) is None:
+            self._pallas_engine = PallasMultiBodyEngine(
+                self.engine.spec, solver_iters=self.engine.solver_iters,
+                erp=self.engine.erp, slop=self.engine.slop,
+                interpret=interpret)
+        return self._pallas_engine
+
     # ----------------------------------------------------------- sub-goal API
     def set_sub_goal(self, state: core.EnvState, sub_goal_ind):
         """`kuka_multi_step_base_env.py:159-181`: pin the desired goal to one

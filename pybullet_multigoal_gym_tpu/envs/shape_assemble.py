@@ -98,7 +98,8 @@ class KukaPrimitiveEnv(KukaEnvBase):
         return state._replace(desired_goal=goal)
 
     # ------------------------------------------------------------------- step
-    def step(self, state: core.EnvState, action):
+    def step_decode_waypoints(self, state: core.EnvState, action):
+        """Action -> the 4 push-primitive EE waypoints (kuka.py:174-202)."""
         cfg = self.cfg
         a = jnp.asarray(action, F32)
         lower = jnp.asarray(WORKSPACE_LOWER_XY)
@@ -121,11 +122,46 @@ class KukaPrimitiveEnv(KukaEnvBase):
                          lower[1], upper[1])
         z_hi = cfg.table_surface_z + 0.1
         z_lo = cfg.table_surface_z + 0.01
-        waypoints = jnp.stack([
+        return jnp.stack([
             jnp.stack([start_x, start_y, z_hi]),
             jnp.stack([start_x, start_y, z_lo]),
             jnp.stack([end_x, end_y, z_lo]),
             jnp.stack([end_x, end_y, z_hi])])
+
+    def step_finish(self, state: core.EnvState):
+        if self.cfg.regenerate_goal_when_step:
+            state = self._generate_goal(state, state.key)
+        obs, state = self._get_obs(state)
+        reward, achieved = core.binary_or_dense_reward(
+            obs['achieved_goal'], obs['desired_goal'],
+            self.cfg.distance_threshold, self.cfg.binary_reward)
+        return state, obs, reward, achieved
+
+    @property
+    def supports_pallas(self):
+        from pybullet_multigoal_gym_tpu.ops import pallas_multibody as PM
+        return PM.supports_scene(self.engine.spec)
+
+    def get_pallas_engine(self, interpret=None):
+        from pybullet_multigoal_gym_tpu.ops.pallas_multibody import (
+            PallasMultiBodyEngine)
+        if getattr(self, '_pallas_engine', None) is None:
+            self._pallas_engine = PallasMultiBodyEngine(
+                self.engine.spec, solver_iters=self.engine.solver_iters,
+                erp=self.engine.erp, slop=self.engine.slop,
+                interpret=interpret)
+        return self._pallas_engine
+
+    def get_pallas_ik_primitive(self, interpret=None):
+        from pybullet_multigoal_gym_tpu.ops.pallas_ik import PallasIK
+        if getattr(self, '_pallas_ik_prim', None) is None:
+            # waypoint jumps are ~0.1 m (cold-ish): more iterations than the
+            # warm-started per-step IK
+            self._pallas_ik_prim = PallasIK(num_iters=16, interpret=interpret)
+        return self._pallas_ik_prim
+
+    def step(self, state: core.EnvState, action):
+        waypoints = self.step_decode_waypoints(state, action)
 
         # execute_primitive (kuka.py:303-312): teleport to rest, drive through
         # the waypoints (20 sim calls each), teleport back to rest
@@ -142,13 +178,7 @@ class KukaPrimitiveEnv(KukaEnvBase):
         phys, _ = jax.lax.scan(run_waypoint, phys, waypoints)
         phys = phys._replace(q=jnp.asarray(self.rest_pose), qd=jnp.zeros(7, F32))
         state = state._replace(phys=phys, steps=state.steps + 1)
-        if self.cfg.regenerate_goal_when_step:
-            state = self._generate_goal(state, state.key)
-        obs, state = self._get_obs(state), state
-        obs = obs[0]
-        reward, achieved = core.binary_or_dense_reward(
-            obs['achieved_goal'], obs['desired_goal'],
-            self.cfg.distance_threshold, self.cfg.binary_reward)
+        state, obs, reward, achieved = self.step_finish(state)
         return state, obs, reward, achieved
 
     # -------------------------------------------------------------------- obs

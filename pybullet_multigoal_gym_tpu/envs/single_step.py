@@ -127,6 +127,34 @@ class KukaEnvBase:
         # (a[-1]+1) * limit/2 (kuka.py:169-172)
         return (a[-1] + 1.0) * (self.gripper_abs_joint_limit / 2.0)
 
+    def step_decode_pre(self, state, action):
+        """Decode WITHOUT the IK solve — the vec wrapper batches IK through
+        the Pallas kernel (ops/pallas_ik.py) outside the vmap."""
+        cfg = self.cfg
+        a = jnp.clip(jnp.asarray(action, F32), -1.0, 1.0)
+        grip_ctrl = (self._grip_ctrl_from_action(a) if cfg.grasping
+                     else self.gripper_abs_joint_limit)
+        f_target = self._grip_target(grip_ctrl)
+        if cfg.joint_control:
+            state = state._replace(joint_target=state.joint_target
+                                   + a[:7] * 0.05)
+        else:
+            ee_target = jnp.clip(state.ee_target + a[:3] * 0.01,
+                                 jnp.asarray(self.ee_lower, F32),
+                                 jnp.asarray(self.ee_upper, F32))
+            state = state._replace(ee_target=ee_target)
+        return state, f_target
+
+    def get_pallas_ik(self, interpret=None):
+        from pybullet_multigoal_gym_tpu.ops.pallas_ik import PallasIK
+        if getattr(self, '_pallas_ik', None) is None:
+            # in-step IK is warm-started (the EE target moves <= 1 cm per
+            # action, kuka.py:208-220) — 8 DLS iterations reach the same
+            # <1e-6 m residual Bullet's residualThreshold=1e-5 early-exit
+            # does; the reference's 40 is a cold-start worst-case cap
+            self._pallas_ik = PallasIK(num_iters=8, interpret=interpret)
+        return self._pallas_ik
+
     def _reset_phys(self, body_pos, body_quat=None):
         eng = self.engine
         st = eng.init_state(q=jnp.asarray(self.rest_pose),
@@ -225,41 +253,13 @@ class KukaSingleStepEnv(KukaEnvBase):
         q_target, state = self._apply_arm_action(state, a)
         return state, q_target, self._grip_target(grip_ctrl)
 
-    def step_decode_pre(self, state: core.EnvState, action):
-        """Decode WITHOUT the IK solve — the vec wrapper batches IK through
-        the Pallas kernel (ops/pallas_ik.py) outside the vmap."""
-        cfg = self.cfg
-        a = jnp.clip(jnp.asarray(action, F32), -1.0, 1.0)
-        grip_ctrl = (self._grip_ctrl_from_action(a) if cfg.grasping
-                     else self.gripper_abs_joint_limit)
-        f_target = self._grip_target(grip_ctrl)
-        if cfg.joint_control:
-            state = state._replace(joint_target=state.joint_target
-                                   + a[:7] * 0.05)
-        else:
-            ee_target = jnp.clip(state.ee_target + a[:3] * 0.01,
-                                 jnp.asarray(self.ee_lower, F32),
-                                 jnp.asarray(self.ee_upper, F32))
-            state = state._replace(ee_target=ee_target)
-        return state, f_target
-
-    def get_pallas_ik(self, interpret=None):
-        from pybullet_multigoal_gym_tpu.ops.pallas_ik import PallasIK
-        if getattr(self, '_pallas_ik', None) is None:
-            # in-step IK is warm-started (the EE target moves <= 1 cm per
-            # action, kuka.py:208-220) — 8 DLS iterations reach the same
-            # <1e-6 m residual Bullet's residualThreshold=1e-5 early-exit
-            # does; the reference's 40 is a cold-start worst-case cap
-            self._pallas_ik = PallasIK(num_iters=8, interpret=interpret)
-        return self._pallas_ik
-
     def step_finish(self, state: core.EnvState):
         cfg = self.cfg
         obs = self._get_obs(state)
         reward, achieved = core.binary_or_dense_reward(
             obs['achieved_goal'], obs['desired_goal'],
             cfg.distance_threshold, cfg.binary_reward)
-        return obs, reward, achieved
+        return state, obs, reward, achieved
 
     @property
     def supports_pallas(self):
@@ -282,7 +282,7 @@ class KukaSingleStepEnv(KukaEnvBase):
                 door_motor_on=jnp.zeros((), bool),
                 door_target=jnp.zeros((), F32)))
         state = state._replace(phys=phys, steps=state.steps + 1)
-        obs, reward, achieved = self.step_finish(state)
+        state, obs, reward, achieved = self.step_finish(state)
         return state, obs, reward, achieved
 
     # -------------------------------------------------------------------- obs

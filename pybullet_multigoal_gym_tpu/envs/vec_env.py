@@ -90,23 +90,63 @@ class VecMGEnv:
             return state, add_images(state, obs)
 
         def step_fn(state, action):
-            if self.use_pallas:
+            if self.use_pallas and cfg.primitive is not None:
+                from pybullet_multigoal_gym_tpu.ops import dynamics as _D
+                import numpy as _np
+                wps = jax.vmap(self.core.step_decode_waypoints)(state, action)
+                rest = jnp.broadcast_to(jnp.asarray(self.core.rest_pose),
+                                        (num_envs, 7))
+                phys = state.phys._replace(
+                    q=rest, qd=jnp.zeros((num_envs, 7), jnp.float32))
+                f_open = jnp.broadcast_to(jax.vmap(self.core._grip_target)(
+                    jnp.full((num_envs,),
+                             self.core.gripper_abs_joint_limit,
+                             jnp.float32)), (num_envs, 2))
+                pik = self.core.get_pallas_ik_primitive()
+                peng = self.core.get_pallas_engine()
+                for w in range(4):
+                    q_t = pik.solve(wps[:, w], q_init=phys.q, rest_pose=rest)
+                    phys = peng.control_step(
+                        phys, _D.Controls(
+                            q_target=q_t, f_target=f_open,
+                            door_motor_on=jnp.zeros((num_envs,), bool),
+                            door_target=jnp.zeros((num_envs,), jnp.float32)),
+                        n_sim_calls=20)
+                phys = phys._replace(
+                    q=rest, qd=jnp.zeros((num_envs, 7), jnp.float32))
+                state = state._replace(phys=phys, steps=state.steps + 1)
+                state, obs, reward, achieved = jax.vmap(
+                    self.core.step_finish)(state)
+            elif self.use_pallas:
                 from pybullet_multigoal_gym_tpu.ops import dynamics as _D
                 state, f_t = jax.vmap(self.core.step_decode_pre)(state, action)
                 if cfg.joint_control:
                     q_t = state.joint_target
                 else:
+                    tq = None
+                    if cfg.end_effector_rotation_control:
+                        from pybullet_multigoal_gym_tpu.maths import quat as _Q
+                        tq = jax.vmap(_Q.euler_zyz_to_quat)(
+                            state.ee_target_rot)
                     q_t = self.core.get_pallas_ik().solve(
-                        state.ee_target, q_init=state.phys.q,
+                        state.ee_target, target_quat=tq,
+                        q_init=state.phys.q,
                         rest_pose=jnp.broadcast_to(
                             jnp.asarray(self.core.rest_pose), (num_envs, 7)))
+                if cfg.has_chest:
+                    door_on = state.door_hold_open
+                    door_t = jnp.full((num_envs,),
+                                      cfg.chest_door_opened_state, jnp.float32)
+                else:
+                    door_on = jnp.zeros((num_envs,), bool)
+                    door_t = jnp.zeros((num_envs,), jnp.float32)
                 phys = self.core.get_pallas_engine().control_step(
                     state.phys, _D.Controls(
                         q_target=q_t, f_target=f_t,
-                        door_motor_on=jnp.zeros((num_envs,), bool),
-                        door_target=jnp.zeros((num_envs,), jnp.float32)))
+                        door_motor_on=door_on, door_target=door_t))
                 state = state._replace(phys=phys, steps=state.steps + 1)
-                obs, reward, achieved = jax.vmap(self.core.step_finish)(state)
+                state, obs, reward, achieved = jax.vmap(
+                    self.core.step_finish)(state)
             else:
                 state, obs, reward, achieved = jax.vmap(self.core.step)(
                     state, action)

@@ -542,7 +542,9 @@ class Engine:
                 state.door_q)
             ee_force = fin_imp / dt
         else:
-            ee_force = jnp.zeros(3, jnp.float32)
+            # derive from state (not a fresh constant) so the leaf keeps its
+            # device-varying type under shard_map
+            ee_force = state.ee_contact_force * 0.0
 
         # 7. integrate
         body_pos = state.body_pos + v_lin * dt

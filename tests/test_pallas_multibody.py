@@ -1,0 +1,106 @@
+"""Parity tests for the general multi-body Pallas kernel vs the XLA engine."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import pybullet_multigoal_gym_tpu  # noqa: F401
+from pybullet_multigoal_gym_tpu.model import kuka_model as KM
+from pybullet_multigoal_gym_tpu.ops import dynamics as D
+from pybullet_multigoal_gym_tpu.ops import fk
+from pybullet_multigoal_gym_tpu.ops import scene as S
+from pybullet_multigoal_gym_tpu.ops.pallas_engine import TILE
+from pybullet_multigoal_gym_tpu.ops.pallas_multibody import (
+    PallasMultiBodyEngine, count_lanes, supports_scene)
+
+ON_TPU = jax.default_backend() == 'tpu'
+
+
+def test_lane_budget_policy():
+    assert supports_scene(S.multi_step_scene(3, False))    # 168 lanes
+    assert supports_scene(S.multi_step_scene(2, True))     # 240 (the ceiling)
+    # 256 lanes crashes the v5e Mosaic compiler -> XLA fallback
+    assert not supports_scene(S.multi_step_scene(4, False))
+    assert not supports_scene(S.multi_step_scene(5, False))
+    assert supports_scene(S.insertion_scene())
+    assert supports_scene(S.shape_assemble_scene(('slot', 'cube')))
+
+
+def _mk_state(spec, N, key):
+    B = spec.n_bodies
+    q0 = jnp.tile(jnp.asarray(KM.KUKA_REST_POSE, jnp.float32), (N, 1))
+    base = jnp.asarray(
+        [[-0.50, 0.05, 0.21], [-0.45, -0.05, 0.19], [-0.55, 0.0, 0.23],
+         [-0.48, 0.10, 0.20], [-0.52, -0.10, 0.22]][:B], jnp.float32)
+    bp = jnp.tile(base[None], (N, 1, 1))
+    bp = bp + jax.random.uniform(key, (N, B, 3), jnp.float32, -0.02, 0.02)
+    return D.PhysicsState(
+        q=q0, qd=jnp.zeros((N, 7)), fq=jnp.zeros((N, 2)),
+        fqd=jnp.zeros((N, 2)), body_pos=bp,
+        body_quat=jnp.tile(jnp.array([[1.0, 0, 0, 0]], jnp.float32),
+                           (N, B, 1)),
+        body_linvel=jnp.zeros((N, B, 3)), body_angvel=jnp.zeros((N, B, 3)),
+        door_q=jnp.zeros((N,)), door_qd=jnp.zeros((N,)),
+        ee_contact_force=jnp.zeros((N, 3)))
+
+
+@pytest.mark.skipif(not ON_TPU, reason='interpret mode is intractably slow '
+                    'for the segment-sliced kernel; CPU uses the XLA fallback')
+@pytest.mark.parametrize('nb,chest', [(2, False), (2, True)])
+def test_multibody_matches_xla(nb, chest):
+    n_sub = 100 if ON_TPU else 2
+    spec = S.multi_step_scene(nb, chest)
+    xeng = D.Engine(spec)
+    peng = PallasMultiBodyEngine(spec)
+    st = _mk_state(spec, TILE, jax.random.PRNGKey(0))
+    q0 = jnp.tile(jnp.asarray(KM.KUKA_REST_POSE, jnp.float32), (TILE, 1))
+    ctrl = D.Controls(q_target=q0,
+                      f_target=jnp.full((TILE, 2), 0.035, jnp.float32),
+                      door_motor_on=jnp.zeros((TILE,), bool),
+                      door_target=jnp.zeros((TILE,)))
+    M = 4
+
+    def xla_n(s, c):
+        if n_sub == 100:
+            return xeng.control_step(s, c)   # scan-based: sane compile time
+        fp = fk.ee_frames(s.q, s.fq)['finger_pos']
+        for _ in range(n_sub):
+            s, fp = xeng.substep(s, c, fp)
+        return s
+
+    x_out = jax.jit(jax.vmap(xla_n))(
+        jax.tree_util.tree_map(lambda x: x[:M], st),
+        jax.tree_util.tree_map(lambda x: x[:M], ctrl))
+    p_out = jax.jit(lambda s, c: peng.control_step(s, c, n_substeps=n_sub))(
+        st, ctrl)
+    # one-sided 8-lane manifolds (vs the XLA engine's 16) apply to statics /
+    # door panels; with blocks spawned away from the chest the trajectories
+    # stay within solver tolerance
+    for f in ['q', 'fq', 'body_pos', 'body_quat', 'body_linvel', 'door_q']:
+        a = np.asarray(getattr(x_out, f))
+        b = np.asarray(getattr(p_out, f))[:M]
+        np.testing.assert_allclose(a, b, atol=5e-3, err_msg=f)
+
+
+@pytest.mark.skipif(not ON_TPU, reason='full vec-env pallas path needs TPU')
+def test_vec_env_multibody_matches_xla_path():
+    from pybullet_multigoal_gym_tpu.config import EnvConfig
+    from pybullet_multigoal_gym_tpu.envs.vec_env import VecMGEnv
+    cfg = EnvConfig(task='block_rearrange', num_block=2, max_episode_steps=10)
+    env_p = VecMGEnv(cfg, num_envs=1024, use_pallas=True)
+    env_x = VecMGEnv(cfg, num_envs=1024, use_pallas=False)
+    assert env_p.use_pallas and not env_x.use_pallas
+    key = jax.random.PRNGKey(3)
+    sp, op = env_p.reset(key)
+    sx, ox = env_x.reset(key)
+    np.testing.assert_allclose(np.asarray(op['achieved_goal']),
+                               np.asarray(ox['achieved_goal']))
+    a = jax.random.uniform(jax.random.PRNGKey(4), (1024, cfg.action_dim),
+                           jnp.float32, -1, 1)
+    for t in range(3):
+        sp, op, rp, dp, ip = env_p.step(sp, a)
+        sx, ox, rx, dx, ix = env_x.step(sx, a)
+    np.testing.assert_allclose(np.asarray(op['achieved_goal']),
+                               np.asarray(ox['achieved_goal']), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(rp), np.asarray(rx), atol=1e-6)

@@ -78,6 +78,26 @@ ge.dryrun_multichip(8)
     assert 'OK' in out
 
 
+def test_shard_map_rollout_8dev():
+    out = _run_cpu8('''
+import jax.numpy as jnp
+import numpy as np
+from pybullet_multigoal_gym_tpu.config import EnvConfig
+from pybullet_multigoal_gym_tpu.parallel import make_mesh, ShardedRollout
+mesh = make_mesh(n_devices=8)
+r = ShardedRollout(EnvConfig(task='reach', max_episode_steps=5),
+                   num_envs=32, mesh=mesh)
+state = r.reset(jax.random.PRNGKey(0))
+state, metrics = r.rollout(state, None, jax.random.PRNGKey(1), 10)
+assert int(metrics.env_steps) == 320, metrics
+assert np.isfinite(float(metrics.mean_reward))
+# per-device PRNG folding gives distinct goals across shards
+assert float(jnp.std(state.desired_goal[:, 0])) > 1e-3
+print('ROLLOUT_OK')
+''')
+    assert 'ROLLOUT_OK' in out
+
+
 def test_graft_entry_single_chip():
     """entry() compiles and runs on the session's default backend."""
     sys.path.insert(0, REPO)
