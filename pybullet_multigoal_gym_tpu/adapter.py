@@ -83,6 +83,13 @@ class GymStyleEnv:
 
     def render(self, mode='human', camera_id=0):
         from pybullet_multigoal_gym_tpu.render import raster
+        if mode == 'human':
+            # reference warns and returns: GUI rendering is a construction-
+            # time choice there (base_env.py:143-145); here it does not exist
+            import warnings
+            warnings.warn('render(mode="human") does nothing in the TPU '
+                          'build; use mode="rgb_array" and inspect the array')
+            return np.array([])
         assert self._state is not None, 'call reset() before render()'
         img = raster.render_state(self.venv.core, self._state, mode=mode,
                                   camera_id=camera_id)

@@ -36,10 +36,13 @@ from pybullet_multigoal_gym_tpu.ops.pallas_engine import (
     F32, LANE, SUB, TILE, _c, _cq, _cv, fk_fingers, mat3vec, qmat, qmul,
     qnormalize, qrotate, vcross, vdot, _CORNER_SIGNS)
 
-# Empirical Mosaic/VMEM ceiling on v5e with the segment-sliced solver:
-# 240 lanes (chest nb=2) compiles and runs; 256 (block_stack nb=4) crashes
-# the TPU compiler. Scenes above the budget fall back to the XLA engine.
-LANE_BUDGET = 240
+# Lane ceiling with the segment-sliced solver and the raised scoped-VMEM
+# limit (CompilerParams below; the 16 MB default rejected >~240 lanes).
+# v5e throughput by lane count: <=480 lanes runs at full speed (block nb=5 =
+# 440 -> 52k steps/s, chest nb=4 = 480 -> 42k); 624 (chest nb=5) spills to
+# HBM and drops to ~0.5k — still at least XLA-fallback speed, so every
+# reference configuration stays on the kernel.
+LANE_BUDGET = 640
 
 
 class _Lane(NamedTuple):
@@ -159,12 +162,19 @@ def count_lanes(spec: S.SceneSpec) -> int:
                 n += 8 * len(geoms_of[b2])
             if spec.door is not None:
                 n += 8 * len(np.asarray(spec.door.geom_half).reshape(-1, 3))
+    pair_n = _pair_lanes(len(free))
     for i, b in enumerate(free):
         for b2 in free[i + 1:]:
-            n += 16 * len(geoms_of[b]) * len(geoms_of[b2])
+            n += pair_n * len(geoms_of[b]) * len(geoms_of[b2])
     if spec.door is not None:
         n += 2 * 16 * len(np.asarray(spec.door.geom_half).reshape(-1, 3))
     return n
+
+
+def _pair_lanes(n_free: int) -> int:
+    """Free-free manifold size: two-sided 16-lane SAT manifolds throughout —
+    the raised scoped-VMEM limit fits even the 5-block scene (440 lanes)."""
+    return 16
 
 
 def supports_scene(spec: S.SceneSpec) -> bool:
@@ -338,11 +348,12 @@ def _build_kernel(spec: S.SceneSpec, solver_iters: int, erp: float,
                         lanes += _one_sided(centers[g], R_of[b], half, dc, dR,
                                             dh, float(frictions[b] * 0.5), b,
                                             ('door',))
+        pair_fn = _two_sided if _pair_lanes(len(free)) == 16 else _one_sided
         for i, b in enumerate(free):
             for b2 in free[i + 1:]:
                 for g in geoms_of[b]:
                     for g2 in geoms_of[b2]:
-                        lanes += _two_sided(
+                        lanes += pair_fn(
                             centers[g], R_of[b],
                             tuple(float(x) for x in a['geom_half'][g]),
                             centers[g2], R_of[b2],
@@ -691,6 +702,10 @@ class PallasMultiBodyEngine:
             out_specs=pl.BlockSpec((n_rows, SUB, LANE), lambda i: (0, i, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((n_rows, G * SUB, LANE), F32),
+            # the default scoped-vmem limit is 16 MB; the largest supported
+            # scenes peak slightly above it (nb=4: 16.7 MB measured)
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024),
             interpret=self.interpret,
         )(sin, cin)
 
