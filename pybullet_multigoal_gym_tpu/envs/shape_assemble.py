@@ -160,6 +160,28 @@ class KukaPrimitiveEnv(KukaEnvBase):
             self._pallas_ik_prim = PallasIK(num_iters=16, interpret=interpret)
         return self._pallas_ik_prim
 
+    def execute_primitive_batched(self, phys, wps, num_envs):
+        """Batched execute_primitive (kuka.py:303-312) on the Pallas engines:
+        teleport to rest, 4x (IK waypoint + 20 sim calls), teleport back.
+        ``wps``: (N, 4, 3). Shared by the vec wrapper so the XLA `step` below
+        and the Pallas path cannot drift."""
+        rest = jnp.broadcast_to(jnp.asarray(self.rest_pose), (num_envs, 7))
+        zeros7 = jnp.zeros((num_envs, 7), F32)
+        f_open = jax.vmap(self._grip_target)(
+            jnp.full((num_envs,), self.gripper_abs_joint_limit, F32))
+        pik = self.get_pallas_ik_primitive()
+        peng = self.get_pallas_engine()
+        phys = phys._replace(q=rest, qd=zeros7)
+        for w in range(wps.shape[1]):
+            q_t = pik.solve(wps[:, w], q_init=phys.q, rest_pose=rest)
+            phys = peng.control_step(
+                phys, D.Controls(
+                    q_target=q_t, f_target=f_open,
+                    door_motor_on=jnp.zeros((num_envs,), bool),
+                    door_target=jnp.zeros((num_envs,), F32)),
+                n_sim_calls=20)
+        return phys._replace(q=rest, qd=zeros7)
+
     def step(self, state: core.EnvState, action):
         waypoints = self.step_decode_waypoints(state, action)
 

@@ -91,29 +91,9 @@ class VecMGEnv:
 
         def step_fn(state, action):
             if self.use_pallas and cfg.primitive is not None:
-                from pybullet_multigoal_gym_tpu.ops import dynamics as _D
-                import numpy as _np
                 wps = jax.vmap(self.core.step_decode_waypoints)(state, action)
-                rest = jnp.broadcast_to(jnp.asarray(self.core.rest_pose),
-                                        (num_envs, 7))
-                phys = state.phys._replace(
-                    q=rest, qd=jnp.zeros((num_envs, 7), jnp.float32))
-                f_open = jnp.broadcast_to(jax.vmap(self.core._grip_target)(
-                    jnp.full((num_envs,),
-                             self.core.gripper_abs_joint_limit,
-                             jnp.float32)), (num_envs, 2))
-                pik = self.core.get_pallas_ik_primitive()
-                peng = self.core.get_pallas_engine()
-                for w in range(4):
-                    q_t = pik.solve(wps[:, w], q_init=phys.q, rest_pose=rest)
-                    phys = peng.control_step(
-                        phys, _D.Controls(
-                            q_target=q_t, f_target=f_open,
-                            door_motor_on=jnp.zeros((num_envs,), bool),
-                            door_target=jnp.zeros((num_envs,), jnp.float32)),
-                        n_sim_calls=20)
-                phys = phys._replace(
-                    q=rest, qd=jnp.zeros((num_envs, 7), jnp.float32))
+                phys = self.core.execute_primitive_batched(
+                    state.phys, wps, num_envs)
                 state = state._replace(phys=phys, steps=state.steps + 1)
                 state, obs, reward, achieved = jax.vmap(
                     self.core.step_finish)(state)

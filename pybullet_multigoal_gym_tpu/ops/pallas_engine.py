@@ -181,12 +181,13 @@ def _cyl_plane_lanes(bp, bq, radius, half_len, plane_z, mu):
     return lanes
 
 
-def _sat_box_box_lanes(ca, Ra, ha, cb, Rb, hb, mu, finger_idx):
-    """SAT box-box manifold, port of ops/contact.py:box_box onto tiles.
+# -- shared SAT tile geometry (also used by ops/pallas_multibody.py) --------
+def sat_face_normal(ca, Ra, ha, cb, Rb, hb):
+    """Minimum-penetration face axis over the 6 face axes of two OBBs.
 
-    A = free body, B = finger `finger_idx`. 16 lanes."""
-    # 6 candidate axes: rows of Ra and Rb... axes are the COLUMN vectors of
-    # R (world direction of each local axis) = rows of R^T -> R[:, k]
+    Returns (n pointing B->A, sat_ok mask, ra_n, rb_n) where r*_n are the
+    boxes' projected half-extents along n. Axes are the COLUMN vectors of R
+    (world direction of each local axis) = R[:, k]."""
     axes = [Ra[:, k] for k in range(3)] + [Rb[:, k] for k in range(3)]
     t = ca - cb
 
@@ -194,52 +195,55 @@ def _sat_box_box_lanes(ca, Ra, ha, cb, Rb, hb, mu, finger_idx):
         # sum_i h_i |(R col_i) . L|
         return sum(abs(vdot(R[:, i], L)) * h[i] for i in range(3))
 
-    best_overlap = None
-    best_axis = None
-    sat_ok = None
+    best_overlap, best_axis, sat_ok = None, None, None
     for L in axes:
-        ra = proj(Ra, ha, L)
-        rb = proj(Rb, hb, L)
-        tl = vdot(t, L)
-        overlap = ra + rb - jnp.abs(tl)
+        overlap = proj(Ra, ha, L) + proj(Rb, hb, L) - jnp.abs(vdot(t, L))
         ok = (overlap > -1e-4).astype(F32)
         sat_ok = ok if sat_ok is None else sat_ok * ok
-        signed = jnp.where(tl >= 0, 1.0, -1.0)
+        signed = jnp.where(vdot(t, L) >= 0, 1.0, -1.0)
         if best_overlap is None:
             best_overlap, best_axis = overlap, L * signed[None]
         else:
             better = overlap < best_overlap
             best_axis = jnp.where(better[None], L * signed[None], best_axis)
             best_overlap = jnp.where(better, overlap, best_overlap)
-    n = best_axis                                    # points B -> A
-    ra_n = proj(Ra, ha, n)
-    rb_n = proj(Rb, hb, n)
+    n = best_axis
+    return n, sat_ok, proj(Ra, ha, n), proj(Rb, hb, n)
 
+
+def box_corner_tiles(c, R, h):
+    """World positions of a box's 8 corners, as a list of (3,8,128) tiles."""
+    out = []
+    for s in _CORNER_SIGNS:
+        loc = _cv([s[0] * h[0], s[1] * h[1], s[2] * h[2]])
+        out.append(c + mat3vec(R, loc))
+    return out
+
+
+def point_in_box_tiles(p, c, R, h):
+    """0/1 mask of points inside an OBB (with the contact margin)."""
+    rel = p - c
+    pl_ = [vdot(R[:, i], rel) for i in range(3)]
+    return ((h[0] - jnp.abs(pl_[0]) > -1e-4).astype(F32)
+            * (h[1] - jnp.abs(pl_[1]) > -1e-4).astype(F32)
+            * (h[2] - jnp.abs(pl_[2]) > -1e-4).astype(F32))
+
+
+def _sat_box_box_lanes(ca, Ra, ha, cb, Rb, hb, mu, finger_idx):
+    """SAT box-box manifold, port of ops/contact.py:box_box onto tiles.
+
+    A = free body, B = finger `finger_idx`. 16 lanes."""
+    n, sat_ok, ra_n, rb_n = sat_face_normal(ca, Ra, ha, cb, Rb, hb)
     lanes = []
-    # corners of A tested in B; pen = rb_n - n.(p - cb)
-    for s in _CORNER_SIGNS:
-        loc = _cv([s[0] * ha[0], s[1] * ha[1], s[2] * ha[2]])
-        p = ca + mat3vec(Ra, loc)
-        rel = p - cb
-        # SDF inside test in B's local frame
-        pl_ = jnp.stack([vdot(Rb[:, i], rel) for i in range(3)])
-        inside = ((hb[0] - jnp.abs(pl_[0]) > -1e-4).astype(F32)
-                  * (hb[1] - jnp.abs(pl_[1]) > -1e-4).astype(F32)
-                  * (hb[2] - jnp.abs(pl_[2]) > -1e-4).astype(F32))
-        pen = rb_n - vdot(n, rel)
-        lanes.append(_Lane(pt=p, nrm=n, pen=pen, active=inside * sat_ok,
+    for p in box_corner_tiles(ca, Ra, ha):    # A corners past B's +n face
+        pen = rb_n - vdot(n, p - cb)
+        lanes.append(_Lane(pt=p, nrm=n, pen=pen,
+                           active=point_in_box_tiles(p, cb, Rb, hb) * sat_ok,
                            mu=mu, is_finger=finger_idx))
-    # corners of B tested in A; pen = n.(p - ca) + ra_n
-    for s in _CORNER_SIGNS:
-        loc = _cv([s[0] * hb[0], s[1] * hb[1], s[2] * hb[2]])
-        p = cb + mat3vec(Rb, loc)
-        rel = p - ca
-        pl_ = jnp.stack([vdot(Ra[:, i], rel) for i in range(3)])
-        inside = ((ha[0] - jnp.abs(pl_[0]) > -1e-4).astype(F32)
-                  * (ha[1] - jnp.abs(pl_[1]) > -1e-4).astype(F32)
-                  * (ha[2] - jnp.abs(pl_[2]) > -1e-4).astype(F32))
-        pen = vdot(n, rel) + ra_n
-        lanes.append(_Lane(pt=p, nrm=n, pen=pen, active=inside * sat_ok,
+    for p in box_corner_tiles(cb, Rb, hb):    # B corners past A's -n face
+        pen = vdot(n, p - ca) + ra_n
+        lanes.append(_Lane(pt=p, nrm=n, pen=pen,
+                           active=point_in_box_tiles(p, ca, Ra, ha) * sat_ok,
                            mu=mu, is_finger=finger_idx))
     return lanes
 

@@ -33,16 +33,21 @@ from pybullet_multigoal_gym_tpu.model import kuka_model as KM
 from pybullet_multigoal_gym_tpu.ops import dynamics as D
 from pybullet_multigoal_gym_tpu.ops import scene as S
 from pybullet_multigoal_gym_tpu.ops.pallas_engine import (
-    F32, LANE, SUB, TILE, _c, _cq, _cv, fk_fingers, mat3vec, qmat, qmul,
-    qnormalize, qrotate, vcross, vdot, _CORNER_SIGNS)
+    F32, LANE, SUB, TILE, _c, _cq, _cv, box_corner_tiles, fk_fingers,
+    mat3vec, point_in_box_tiles, qmat, qmul, qnormalize, qrotate,
+    sat_face_normal, vcross, vdot, _CORNER_SIGNS)
 
 # Lane ceiling with the segment-sliced solver and the raised scoped-VMEM
 # limit (CompilerParams below; the 16 MB default rejected >~240 lanes).
-# v5e throughput by lane count: <=480 lanes runs at full speed (block nb=5 =
-# 440 -> 52k steps/s, chest nb=4 = 480 -> 42k); 624 (chest nb=5) spills to
-# HBM and drops to ~0.5k — still at least XLA-fallback speed, so every
-# reference configuration stays on the kernel.
+# v5e throughput by lane count: <=480 lanes runs at full speed (block nb=5
+# -> 52k steps/s, chest nb=4 -> 42k); chest nb=5 spills to HBM and drops to
+# ~0.5k — still at least XLA-fallback speed, so every reference
+# configuration stays on the kernel.
 LANE_BUDGET = 640
+
+
+DOOR_A = -1      # side A is the chest door
+PINNED_A = -2    # side A is a pinned (zero-mass, immovable) geom
 
 
 class _Lane(NamedTuple):
@@ -51,49 +56,15 @@ class _Lane(NamedTuple):
     pen: jnp.ndarray
     active: jnp.ndarray    # f32 0/1
     mu: float
-    body_a: int            # free-body index of side A (-1 = door is side A)
+    body_a: int            # free-body index, or DOOR_A / PINNED_A
     side_b: tuple          # ('world',), ('finger', f), ('body', b), ('door',)
 
 
-def _sat_normal(ca, Ra, ha, cb, Rb, hb):
-    """Minimum-penetration face axis over the 6 face axes; returns
-    (n pointing B->A, sat_ok, ra_n, rb_n)."""
-    axes = [Ra[:, k] for k in range(3)] + [Rb[:, k] for k in range(3)]
-    t = ca - cb
-
-    def proj(R, h, L):
-        return sum(abs(vdot(R[:, i], L)) * h[i] for i in range(3))
-
-    best_overlap, best_axis, sat_ok = None, None, None
-    for L in axes:
-        overlap = proj(Ra, ha, L) + proj(Rb, hb, L) - jnp.abs(vdot(t, L))
-        ok = (overlap > -1e-4).astype(F32)
-        sat_ok = ok if sat_ok is None else sat_ok * ok
-        signed = jnp.where(vdot(t, L) >= 0, 1.0, -1.0)
-        if best_overlap is None:
-            best_overlap, best_axis = overlap, L * signed[None]
-        else:
-            better = overlap < best_overlap
-            best_axis = jnp.where(better[None], L * signed[None], best_axis)
-            best_overlap = jnp.where(better, overlap, best_overlap)
-    n = best_axis
-    return n, sat_ok, proj(Ra, ha, n), proj(Rb, hb, n)
-
-
-def _corners(c, R, h):
-    out = []
-    for s in _CORNER_SIGNS:
-        loc = _cv([s[0] * h[0], s[1] * h[1], s[2] * h[2]])
-        out.append(c + mat3vec(R, loc))
-    return out
-
-
-def _inside(p, c, R, h):
-    rel = p - c
-    pl_ = [vdot(R[:, i], rel) for i in range(3)]
-    return ((h[0] - jnp.abs(pl_[0]) > -1e-4).astype(F32)
-            * (h[1] - jnp.abs(pl_[1]) > -1e-4).astype(F32)
-            * (h[2] - jnp.abs(pl_[2]) > -1e-4).astype(F32))
+# SAT geometry shared with the single-body kernel (pallas_engine.py) — one
+# copy of the tested math, both kernels' parity suites cover it
+_sat_normal = sat_face_normal
+_corners = box_corner_tiles
+_inside = point_in_box_tiles
 
 
 def _two_sided(ca, Ra, ha, cb, Rb, hb, mu, body_a, side_b):
@@ -162,24 +133,21 @@ def count_lanes(spec: S.SceneSpec) -> int:
                 n += 8 * len(geoms_of[b2])
             if spec.door is not None:
                 n += 8 * len(np.asarray(spec.door.geom_half).reshape(-1, 3))
-    pair_n = _pair_lanes(len(free))
+    for b2 in pinned:
+        n += 2 * 16 * len(geoms_of[b2])          # finger vs pinned geoms
     for i, b in enumerate(free):
         for b2 in free[i + 1:]:
-            n += pair_n * len(geoms_of[b]) * len(geoms_of[b2])
+            n += 16 * len(geoms_of[b]) * len(geoms_of[b2])
     if spec.door is not None:
         n += 2 * 16 * len(np.asarray(spec.door.geom_half).reshape(-1, 3))
     return n
 
 
-def _pair_lanes(n_free: int) -> int:
-    """Free-free manifold size: two-sided 16-lane SAT manifolds throughout —
-    the raised scoped-VMEM limit fits even the 5-block scene (440 lanes)."""
-    return 16
-
-
 def supports_scene(spec: S.SceneSpec) -> bool:
     if spec.n_bodies < 1:
         return False
+    if not any(m > 0 for m in spec.np_arrays()['body_mass']):
+        return False                    # all-pinned scene: no lanes to solve
     return count_lanes(spec) <= LANE_BUDGET
 
 
@@ -348,12 +316,23 @@ def _build_kernel(spec: S.SceneSpec, solver_iters: int, erp: float,
                         lanes += _one_sided(centers[g], R_of[b], half, dc, dR,
                                             dh, float(frictions[b] * 0.5), b,
                                             ('door',))
-        pair_fn = _two_sided if _pair_lanes(len(free)) == 16 else _one_sided
+        # finger vs PINNED geoms (e.g. the insertion slot): the XLA engine
+        # builds finger lanes for all geoms (dynamics.py:171-177); these feed
+        # the EE force sensor and stop the fingers at slot walls. Pinned
+        # side A = immovable: body_a = PINNED_A, zero velocity, no apply.
+        for b2 in pinned:
+            for g2 in geoms_of[b2]:
+                h2 = tuple(float(x) for x in a['geom_half'][g2])
+                for f in range(2):
+                    lanes += _two_sided(centers[g2], R_of[b2], h2,
+                                        fpos[f], Rb7, fhalf,
+                                        float(frictions[b2]), PINNED_A,
+                                        ('finger', f))
         for i, b in enumerate(free):
             for b2 in free[i + 1:]:
                 for g in geoms_of[b]:
                     for g2 in geoms_of[b2]:
-                        lanes += pair_fn(
+                        lanes += _two_sided(
                             centers[g], R_of[b],
                             tuple(float(x) for x in a['geom_half'][g]),
                             centers[g2], R_of[b2],
@@ -365,7 +344,7 @@ def _build_kernel(spec: S.SceneSpec, solver_iters: int, erp: float,
                 for dc, dR, dh in door_geom_cr:
                     # door is side A, finger side B (dynamics.py:197-199)
                     lanes += _two_sided(dc, dR, dh, fpos[f], Rb7, fhalf,
-                                        1.0, -1, ('finger', f))
+                                        1.0, DOOR_A, ('finger', f))
 
         # 7. segmentation: the generators above emit lanes grouped by
         # (body_a, side, mu); contiguous runs become SEGMENTS addressed with
@@ -405,9 +384,10 @@ def _build_kernel(spec: S.SceneSpec, solver_iters: int, erp: float,
             if ba >= 0:
                 r_a_parts.append(pts[sl] - bodies[ba][0][None])
             else:
-                r_a_parts.append(pts[sl] * 0.0)          # door-A: jac instead
-                djac_seg[si] = jnp.stack(
-                    [door_jac(pts[i], door_q) for i in range(s0, s1)])
+                r_a_parts.append(pts[sl] * 0.0)   # door/pinned A: no arm
+                if ba == DOOR_A:
+                    djac_seg[si] = jnp.stack(
+                        [door_jac(pts[i], door_q) for i in range(s0, s1)])
             if side[0] == 'body':
                 r_b_seg[si] = pts[sl] - bodies[side[1]][0][None]
             if side == ('door',):
@@ -445,7 +425,7 @@ def _build_kernel(spec: S.SceneSpec, solver_iters: int, erp: float,
         if door is not None:
             c = 0.0
             for (s0, s1, ba, side, _) in segs:
-                if ba == -1 or side == ('door',):
+                if ba == DOOR_A or side == ('door',):
                     c = c + jnp.sum(act[s0:s1], 0)
             door_count = jnp.maximum(c, 1.0)
 
@@ -464,9 +444,10 @@ def _build_kernel(spec: S.SceneSpec, solver_iters: int, erp: float,
                          for i in range(3)], 1)
                     k = k + (inv_mass[ba] + jnp.sum(rxd * Iw_rxd, 1)) \
                         * counts[ba][None]
-                else:
+                elif ba == DOOR_A:
                     dj = jnp.sum(ds * djac_seg[si], 1)
                     k = k + (dj * dj * door_inv_mass) * door_count[None]
+                # PINNED_A contributes nothing (immovable)
                 if side[0] == 'finger':
                     da = jnp.sum(ds * faxis[side[1]][None], 1)
                     k = k + (da * da / finger_mass) * fin_counts[side[1]][None]
@@ -486,7 +467,13 @@ def _build_kernel(spec: S.SceneSpec, solver_iters: int, erp: float,
             return jnp.concatenate(parts)
 
         t1_init, t2_init = tangents()
-        kn = jnp.maximum(k_of(nrm), 1e-8)
+        kn_raw = k_of(nrm)
+        # degenerate lanes (direction orthogonal to every DOF) must be
+        # EXCLUDED, not floored: dividing by the 1e-8 floor accumulates
+        # garbage lambdas that pollute the EE force sensor
+        # (dynamics._solve's `solvable` gate)
+        solvable = act * (kn_raw > 1e-8).astype(F32)
+        kn = jnp.maximum(kn_raw, 1e-8)
         kt1 = jnp.maximum(k_of(t1_init), 1e-8)
         kt2 = jnp.maximum(k_of(t2_init), 1e-8)
         bias = -(erp / dt) * jnp.maximum(pen - slop, 0.0)
@@ -501,8 +488,10 @@ def _build_kernel(spec: S.SceneSpec, solver_iters: int, erp: float,
                     bv_, bw_ = vels[ba]
                     va = bv_[None] + lcross(
                         jnp.broadcast_to(bw_[None], r_a[sl].shape), r_a[sl])
-                else:
+                elif ba == DOOR_A:
                     va = djac_seg[si] * door_qd_
+                else:                    # PINNED_A: immovable
+                    va = 0.0
                 if side == ('world',):
                     vb = 0.0
                 elif side[0] == 'finger':
@@ -518,17 +507,17 @@ def _build_kernel(spec: S.SceneSpec, solver_iters: int, erp: float,
                 vrel_parts.append(va - vb)
             vrel = jnp.concatenate(vrel_parts)
             vn = jnp.sum(vrel * nrm, 1)
-            dln = jnp.where(act > 0, -(vn + bias) / kn, 0.0)
+            dln = jnp.where(solvable > 0, -(vn + bias) / kn, 0.0)
             nln = jnp.maximum(ln + dln, 0.0)
             dln = nln - ln
             lim = jnp.concatenate([m * nln[s0:s1]
                                    for (s0, s1, _, _, m) in segs])
             vt1_ = jnp.sum(vrel * t1, 1)
-            dlt1 = jnp.where(act > 0, -vt1_ / kt1, 0.0)
+            dlt1 = jnp.where(solvable > 0, -vt1_ / kt1, 0.0)
             nlt1 = jnp.clip(lt1 + dlt1, -lim, lim)
             dlt1 = nlt1 - lt1
             vt2_ = jnp.sum(vrel * t2, 1)
-            dlt2 = jnp.where(act > 0, -vt2_ / kt2, 0.0)
+            dlt2 = jnp.where(solvable > 0, -vt2_ / kt2, 0.0)
             nlt2 = jnp.clip(lt2 + dlt2, -lim, lim)
             dlt2 = nlt2 - lt2
             imp = nrm * dln[:, None] + t1 * dlt1[:, None] + t2 * dlt2[:, None]
@@ -543,9 +532,10 @@ def _build_kernel(spec: S.SceneSpec, solver_iters: int, erp: float,
                 if ba >= 0:
                     dv[ba] = dv[ba] + jnp.sum(imp_s, 0)
                     dw[ba] = dw[ba] + jnp.sum(lcross(r_a[sl], imp_s), 0)
-                else:
+                elif ba == DOOR_A:
                     ddoor = ddoor + jnp.sum(
                         jnp.sum(imp_s * djac_seg[si], 1), 0)
+                # PINNED_A: no application
                 if side[0] == 'finger':
                     dfq[side[1]] = dfq[side[1]] + jnp.sum(
                         jnp.sum(imp_s * faxis[side[1]][None], 1), 0)
