@@ -35,6 +35,30 @@ _KEYPOINTS = {
 }
 
 
+def update_curriculum_prob(prob, counts, nc: int, per: float):
+    """Vectorised curriculum-probability staircase: the branch-free port of
+    `kuka_multi_step_base_env.py:350-379` (validated against a straight-line
+    NumPy oracle in tests/test_oracles.py). ``per`` =
+    num_goals_to_generate // num_curriculum."""
+    finished = counts >= per
+    half = counts >= (per / 2)
+    prob = jnp.where(finished, 0.0, prob)
+    # first curriculum
+    first_split = half[0] & ~finished[0]
+    prob = prob.at[0].set(jnp.where(first_split, 0.5, prob[0]))
+    prob = prob.at[1].set(jnp.where(first_split, 0.5, prob[1]))
+    # middle curricula
+    for i in range(1, nc - 1):
+        cond = finished[i - 1] & ~finished[i]
+        prob = prob.at[i].set(jnp.where(cond & half[i], 0.5,
+                                        jnp.where(cond, 1.0, prob[i])))
+        prob = prob.at[i + 1].set(jnp.where(cond & half[i], 0.5,
+                                            prob[i + 1]))
+    # last curriculum
+    prob = prob.at[-1].set(jnp.where(finished[-2], 1.0, prob[-1]))
+    return prob
+
+
 class KukaMultiBlockEnv(KukaEnvBase):
 
     def __init__(self, cfg: EnvConfig):
@@ -256,26 +280,8 @@ class KukaMultiBlockEnv(KukaEnvBase):
                                      curriculum_goal_step=goal_step.astype(jnp.int32))
 
     def _update_curriculum_prob(self, prob, counts):
-        """Vectorised port of `kuka_multi_step_base_env.py:350-379`."""
-        n = self.nc
-        per = self.num_goals_per_curriculum
-        finished = counts >= per
-        half = counts >= (per / 2)
-        prob = jnp.where(finished, 0.0, prob)
-        # first curriculum
-        first_split = half[0] & ~finished[0]
-        prob = prob.at[0].set(jnp.where(first_split, 0.5, prob[0]))
-        prob = prob.at[1].set(jnp.where(first_split, 0.5, prob[1]))
-        # middle curricula
-        for i in range(1, n - 1):
-            cond = finished[i - 1] & ~finished[i]
-            prob = prob.at[i].set(jnp.where(cond & half[i], 0.5,
-                                            jnp.where(cond, 1.0, prob[i])))
-            prob = prob.at[i + 1].set(jnp.where(cond & half[i], 0.5,
-                                                prob[i + 1]))
-        # last curriculum
-        prob = prob.at[-1].set(jnp.where(finished[-2], 1.0, prob[-1]))
-        return prob
+        return update_curriculum_prob(prob, counts, self.nc,
+                                      self.num_goals_per_curriculum)
 
     # ------------------------------------------------------------------ goals
     def _generate_goal(self, state, block_poses, new_target, key=None,
@@ -468,12 +474,16 @@ class KukaMultiBlockEnv(KukaEnvBase):
                 take = take | extra_mask
             return jnp.where(take[:, None], center[None], block_poses)
 
-        # sub-goal 1: open the door, everything else as spawned
+        # sub-goal 1: open the door, everything else as spawned. The
+        # reference appends the gripper tip (and closeness, for pick) even
+        # when grip_informed_goal=False (kuka_multi_step_envs.py:292-296,
+        # 443-446), which makes the first sub-goal a different length from
+        # the rest — unusable ragged output; here the gripper entries follow
+        # grip_informed_goal so every sub-goal has the goal dimension.
         first = [door, block_poses.reshape(-1)]
-        if pick:
-            first += [gripper_xyz, finger_closeness]
-        elif cfg.grip_informed_goal:
-            first += [gripper_xyz]
+        if cfg.grip_informed_goal:
+            first += ([gripper_xyz, finger_closeness] if pick
+                      else [gripper_xyz])
         subs.append(jnp.concatenate(first))
 
         if cfg.grip_informed_goal:

@@ -56,10 +56,14 @@ def robot_state(q, qd, fq, fqd, grasping: bool, ee_contact_force=None):
     }
     if ee_contact_force is not None:
         # EE force sensor (kuka.py:250-254): contact force on the gripper plus
-        # the sensed gravity load of the distal subtree (~22.1 N, the constant
-        # the reference comments about compensating), in the link-7 frame,
-        # clipped to +-50 N at the consumer.
-        f_world = ee_contact_force + jnp.asarray([0.0, 0.0, -22.10853], q.dtype)
+        # the sensed gravity load of the distal subtree (link_7 + gripper base
+        # + fingers = KM.EE_SUBTREE_MASS; the reference's commented-out
+        # compensation at kuka.py:252 is this mass x g=10). The load is a
+        # constant world -z force; rotating it into the link-7 sensor frame
+        # makes the reading orientation-dependent exactly as Bullet's
+        # joint-frame sensor is, clipped to +-50 N at the consumer.
+        g_load = KM.EE_SUBTREE_MASS * 9.81
+        f_world = ee_contact_force + jnp.asarray([0.0, 0.0, -g_load], q.dtype)
         f_local = quatm.rotate_inv(r7, f_world)
         out['ee_joint_force'] = jnp.clip(f_local, -50.0, 50.0)
     return out

@@ -71,6 +71,11 @@ FINGER_LIMIT = 0.035
 FINGER_EFFORT = 20.0
 FINGER_MASS = 0.636951
 FINGER_INERTIA_SCALING = 3.0   # URDF <contact><inertia_scaling value="3.0"/>
+GRIPPER_BASE_MASS = 0.636951   # iiwa_gripper_base_link (URDF:412)
+# Mass of everything distal of the joint-7 force sensor: link_7 + gripper base
+# + both fingers = 2.210853 kg. (The reference's commented-out compensation
+# constant `22.10853` at kuka.py:252 is exactly this mass x g=10.)
+EE_SUBTREE_MASS = LINK_MASS[7] + GRIPPER_BASE_MASS + 2.0 * FINGER_MASS
 FINGER_TAB_OFFSET = np.array([[0.0, -0.005, 0.0], [0.0, 0.005, 0.0]], dtype=np.float64)
 # Finger collision box half-extents: visual/collision box 0.025 x 0.01 x 0.08.
 FINGER_HALF_EXTENTS = np.array([0.0125, 0.005, 0.04], dtype=np.float64)

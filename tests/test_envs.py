@@ -164,6 +164,39 @@ def test_insertion_obs_contract():
         assert k in sr and k + '_done' in sr
 
 
+def test_ee_force_sensor_gravity_load_tracks_orientation():
+    """The sensed gravity load must be the distal-subtree weight rotated into
+    the link-7 frame — not a fixed local-frame constant (kuka.py:250-254;
+    Bullet reports joint-frame reaction forces)."""
+    from pybullet_multigoal_gym_tpu.envs import robot as R
+    from pybullet_multigoal_gym_tpu.model import kuka_model as KM
+    w = KM.EE_SUBTREE_MASS * 9.81
+    zero = jnp.zeros(3, jnp.float32)
+
+    def sensed(q):
+        rs = R.robot_state(jnp.asarray(q, jnp.float32), jnp.zeros(7),
+                           jnp.zeros(2), jnp.zeros(2), grasping=True,
+                           ee_contact_force=zero)
+        return np.asarray(rs['ee_joint_force']), rs['tip_rot']
+
+    # downward rest pose: load is ~[0,0,+-w] in the sensor frame
+    f_rest, _ = sensed(KM.KUKA_REST_POSE)
+    np.testing.assert_allclose(np.abs(f_rest[2]), w, atol=0.5)
+    assert np.linalg.norm(f_rest[:2]) < 0.5, f_rest
+
+    # tilted wrist (insertion-style 6-DoF pose): magnitude preserved, world
+    # reconstruction still points straight down
+    from pybullet_multigoal_gym_tpu.maths import quat as quatm
+    q_tilt = np.asarray(KM.KUKA_REST_POSE).copy()
+    q_tilt[5] += 0.7
+    f_tilt, r7 = sensed(q_tilt)
+    np.testing.assert_allclose(np.linalg.norm(f_tilt), w, atol=1e-3)
+    f_world = np.asarray(quatm.rotate(r7, jnp.asarray(f_tilt)))
+    np.testing.assert_allclose(f_world, [0.0, 0.0, -w], atol=1e-3)
+    # and the local reading genuinely rotated off the z axis
+    assert abs(np.abs(f_tilt[2]) - w) > 1.0, f_tilt
+
+
 # ------------------------------------------------------------------ auto-reset
 def test_auto_reset_at_time_limit():
     env = _mk('reach', n=2)

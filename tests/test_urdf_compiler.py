@@ -78,6 +78,17 @@ def test_slide_puck_matches_scene():
     np.testing.assert_allclose([col['radius'], col['length']], [0.03, 0.02])
 
 
+def test_ee_subtree_mass_matches_urdf(kuka_model):
+    """The joint-7 force-sensor gravity load (envs/robot.py) must equal the
+    summed URDF mass of everything distal of the sensor."""
+    from pybullet_multigoal_gym_tpu.model import kuka_model as KM
+    links = {l['name']: l for l in kuka_model['links']}
+    distal = ['iiwa_link_7', 'iiwa_gripper_base_link',
+              'iiwa_gripper_finger1', 'iiwa_gripper_finger2']
+    m = sum(links[n]['mass'] for n in distal)
+    np.testing.assert_allclose(m, KM.EE_SUBTREE_MASS, rtol=1e-9)
+
+
 def test_robotiq_mimic_multipliers():
     from pybullet_multigoal_gym_tpu.model import kuka_model as KM
     from pybullet_multigoal_gym_tpu.model.urdf_compiler import compile_urdf
