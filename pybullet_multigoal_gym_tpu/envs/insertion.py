@@ -81,12 +81,13 @@ class KukaInsertionEnv(KukaEnvBase):
 
     # ------------------------------------------------------------------ goals
     def _generate_goal(self, state):
-        """Goal = slot_target frame (slot link 3, offset (-0.06,0,0)) with
+        """Goal = slot_target frame (slot link 3 = base_target_joint at
+        (-0.03,0,0), the pocket centre; insertion/slot.urdf:133-137) with
         z = rectangle initial z (kuka_insertion_envs.py:25-30)."""
         b = self._body_index('slot')
         spos = state.phys.body_pos[b]
         squat = state.phys.body_quat[b]
-        tgt = spos + quatm.rotate(squat, jnp.array([-0.06, 0.0, 0.0], F32))
+        tgt = spos + quatm.rotate(squat, jnp.array([-0.03, 0.0, 0.0], F32))
         euler = quatm.quat_to_euler_zyz(squat)
         goal = jnp.concatenate([
             tgt[:2], jnp.full((1,), self.obj_z['rectangle'], F32), euler])
@@ -201,8 +202,10 @@ class KukaInsertionEnv(KukaEnvBase):
         # (insertion/rectangle.urdf:34-38)
         grasp_xyz = obj_xyz + quatm.rotate(ph.body_quat[rb],
                                            jnp.array([0.0, 0.0, 0.03], F32))
+        # slot_target frame = slot link 3 at (-0.03,0,0): the pocket centre
+        # (insertion/slot.urdf:133-137), NOT the end bar at (-0.06,0,0)
         slot_xyz = ph.body_pos[sb] + quatm.rotate(
-            ph.body_quat[sb], jnp.array([-0.06, 0.0, 0.0], F32))
+            ph.body_quat[sb], jnp.array([-0.03, 0.0, 0.0], F32))
         slot_euler = quatm.quat_to_euler_zyz(ph.body_quat[sb])
 
         d_pick = (jnp.linalg.norm(grasp_xyz - gripper_xyz)

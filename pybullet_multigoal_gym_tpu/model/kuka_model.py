@@ -120,3 +120,23 @@ EE_FIXED_QUAT_WXYZ = np.array([0.0, 0.0, -1.0, 0.0], dtype=np.float64)
 # jitted step carries no URDF math.
 ARM_EFFECTIVE_INERTIA = np.array(
     [1.8, 1.8, 0.9, 0.9, 0.25, 0.12, 0.05], dtype=np.float64)
+
+# Arm collision spheres: sphere-chain approximation of the distal arm links
+# (the reference loads the full link collision meshes and Bullet collides the
+# whole arm, `robots/robot_bases.py:62-84`; radii follow the capsule chain in
+# render/visuals.py:add_robot). Each sphere is attached to joint frame
+# ARM_SPHERE_LINK (0-based, frame of iiwa_joint_{j+1}) at ARM_SPHERE_OFFSET in
+# that frame; mid-segment spheres use the next joint's constant parent-frame
+# origin (JOINT_ORIGIN_XYZ[j+1] / 2).
+ARM_SPHERE_LINK = np.array([3, 3, 4, 4, 5, 6, 6], dtype=np.int32)
+ARM_SPHERE_OFFSET = np.array([
+    [0.0, 0.0, 0.0],                 # elbow (joint-4 origin)
+    JOINT_ORIGIN_XYZ[4] / 2.0,       # mid upper-forearm
+    [0.0, 0.0, 0.0],                 # joint-5 origin
+    JOINT_ORIGIN_XYZ[5] / 2.0,       # mid lower-forearm
+    [0.0, 0.0, 0.0],                 # wrist (joint-6 origin)
+    [0.0, 0.0, 0.0],                 # joint-7 origin
+    GRIPPER_BASE_OFFSET,             # gripper palm
+], dtype=np.float64)
+ARM_SPHERE_RADIUS = np.array(
+    [0.065, 0.06, 0.06, 0.055, 0.055, 0.05, 0.05], dtype=np.float64)

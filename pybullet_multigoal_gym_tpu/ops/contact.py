@@ -6,10 +6,12 @@ collider returns a *fixed* number of candidate contacts with an ``active``
 mask, so shapes are static under jit/vmap.
 
 Box-box contacts use the corner-in-box SDF scheme (8 corners of A tested
-against B's signed distance field, and vice versa): exact for the face-on
-stacking/pushing interactions of this suite, ignores the rare edge-edge case.
+against B's signed distance field, and vice versa) plus one cross-piercing
+fallback candidate for overlaps where no corner of either box lies inside the
+other (thin boxes crossing, e.g. a finger pad vs the chest door handle).
 """
 
+import jax
 import jax.numpy as jnp
 
 from pybullet_multigoal_gym_tpu.maths import quat as quatm
@@ -30,12 +32,40 @@ def box_corners(center, rot, half):
     return center[..., None, :] + quatm.rotate(rot[..., None, :], local)
 
 
+def incident_face_corners(c, q, h, d):
+    """The 4 corners of the box face most facing direction ``d``.
+
+    The face whose outward normal maximises |dot| with d (sign-matched), i.e.
+    the only face whose corners can shallowly contact an opponent lying along
+    d. Used to build 4-candidate manifolds instead of all-8-corner ones —
+    halves the contact-lane count (the VMEM currency of the Pallas kernels)
+    with identical active sets at solver-scale penetrations.
+
+    Returns (...,4,3) world corners."""
+    R = quatm.to_matrix(q)                       # (...,3,3) cols = box axes
+    dots = jnp.einsum('...i,...ik->...k', d, R)  # (...,3)
+    onehot = jax.nn.one_hot(jnp.argmax(jnp.abs(dots), axis=-1), 3,
+                            dtype=c.dtype)
+    sgn = jnp.where(dots >= 0, 1.0, -1.0)
+    f = jnp.einsum('...k,...ik->...i', onehot * sgn * h, R)
+    oh_u = jnp.roll(onehot, 1, axis=-1)          # axis (k+1) % 3
+    oh_v = jnp.roll(onehot, 2, axis=-1)          # axis (k+2) % 3
+    u = jnp.einsum('...k,...ik->...i', oh_u * h, R)
+    v = jnp.einsum('...k,...ik->...i', oh_v * h, R)
+    base = c + f
+    return jnp.stack([base - u - v, base - u + v,
+                      base + u - v, base + u + v], axis=-2)
+
+
 def box_plane(center, rot, half, plane_z):
-    """Box vs the horizontal support plane z=plane_z. Returns 8 candidates.
+    """Box vs the horizontal support plane z=plane_z. Returns 4 candidates
+    (the bottom-facing face's corners).
 
     normal is +z (pushes the box up)."""
-    corners = box_corners(center, rot, half)           # (...,8,3)
-    pen = plane_z - corners[..., 2]                    # (...,8)
+    down = jnp.broadcast_to(jnp.array([0.0, 0.0, -1.0], center.dtype),
+                            center.shape)
+    corners = incident_face_corners(center, rot, half, down)   # (...,4,3)
+    pen = plane_z - corners[..., 2]                    # (...,4)
     active = pen > -MARGIN
     normal = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], corners.dtype),
                               corners.shape)
@@ -83,7 +113,9 @@ def corners_vs_box(ca, qa, ha, cb, qb, hb):
 
 
 def box_box(ca, qa, ha, cb, qb, hb):
-    """Two-sided box-box contact with a SAT face normal: 16 candidates.
+    """Two-sided box-box contact with a SAT face normal: 9 candidates
+    (4 incident-face corners of A in B, 4 of B in A, 1 cross-piercing
+    fallback).
 
     Corner-in-box tests (both directions) supply the contact *points* and the
     active mask, but the shared manifold *normal* is the global minimum-
@@ -118,18 +150,76 @@ def box_box(ca, qa, ha, cb, qb, hb):
     ra_n = jnp.sum(jnp.abs(jnp.einsum('...i,...ij->...j', n, Ra)) * ha, axis=-1)
     rb_n = jnp.sum(jnp.abs(jnp.einsum('...i,...ij->...j', n, Rb)) * hb, axis=-1)
 
-    p1, _, sdf1, a1 = corners_vs_box(ca, qa, ha, cb, qb, hb)   # A corners in B
-    p2, _, sdf2, a2 = corners_vs_box(cb, qb, hb, ca, qa, ha)   # B corners in A
+    # candidate corners: only each box's incident face (the face toward the
+    # other box along the SAT normal) — 4 per box instead of all 8
+    p1 = incident_face_corners(ca, qa, ha, -n)     # A corners toward B
+    p2 = incident_face_corners(cb, qb, hb, n)      # B corners toward A
+    pl1 = quatm.rotate_inv(qb[..., None, :], p1 - cb[..., None, :])
+    _, _, a1 = _point_in_box(pl1, hb[..., None, :])
+    pl2 = quatm.rotate_inv(qa[..., None, :], p2 - ca[..., None, :])
+    _, _, a2 = _point_in_box(pl2, ha[..., None, :])
     # A's corner past B's +n face: pen = rb_n - n.(p - cb)
     pen1 = rb_n[..., None] - jnp.einsum('...i,...ci->...c', n, p1 - cb[..., None, :])
     # B's corner past A's -n face: pen = n.(p - ca) + ra_n
     pen2 = jnp.einsum('...i,...ci->...c', n, p2 - ca[..., None, :]) + ra_n[..., None]
 
-    pts = jnp.concatenate([p1, p2], axis=-2)
+    # cross-piercing candidate: two boxes can overlap with NO corner of either
+    # inside the other (e.g. the thin finger pad sweeping through the chest
+    # door handle: each box's extent contains the other along different axes).
+    # When face-axis SAT reports overlap but every corner test is silent,
+    # activate one contact at the midpoint of the boxes' mutual closest
+    # features, with the SAT minimum-overlap depth.
+    p_on_b = cb + quatm.rotate(qb, jnp.clip(
+        quatm.rotate_inv(qb, ca - cb), -hb, hb))
+    p_on_a = ca + quatm.rotate(qa, jnp.clip(
+        quatm.rotate_inv(qa, cb - ca), -ha, ha))
+    p_cross = 0.5 * (p_on_a + p_on_b)
+    pen_cross = jnp.min(overlap, axis=-1)
+    corners_silent = ~(jnp.any(a1, axis=-1) | jnp.any(a2, axis=-1))
+    act_cross = sat_ok & corners_silent
+
+    pts = jnp.concatenate([p1, p2, p_cross[..., None, :]], axis=-2)
     nrm = jnp.broadcast_to(n[..., None, :], pts.shape)
-    pen = jnp.concatenate([pen1, pen2], axis=-1)
-    act = jnp.concatenate([a1, a2], axis=-1) & sat_ok[..., None]
+    pen = jnp.concatenate([pen1, pen2, pen_cross[..., None]], axis=-1)
+    act = jnp.concatenate([a1, a2, act_cross[..., None]], axis=-1) \
+        & sat_ok[..., None]
     return pts, nrm, pen, act
+
+
+def sphere_plane(c, radius, plane_z):
+    """Sphere vs the horizontal support plane: 1 candidate, normal +z."""
+    pen = (plane_z + radius) - c[..., 2]
+    active = pen > -MARGIN
+    p = c - jnp.array([0.0, 0.0, 1.0], c.dtype) * radius
+    n = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], c.dtype), c.shape)
+    return (p[..., None, :], n[..., None, :], pen[..., None],
+            active[..., None])
+
+
+def sphere_box(c, radius, cb, qb, hb):
+    """Sphere (A side) vs box (B side): 1 candidate; normal pushes the sphere
+    out of the box (B -> A). Handles the centre-inside-box case via the
+    nearest-exit-face normal."""
+    cl = quatm.rotate_inv(qb, c - cb)
+    clamped = jnp.clip(cl, -hb, hb)
+    delta = cl - clamped
+    d = jnp.linalg.norm(delta, axis=-1)
+    outside = d > 1e-9
+    # outside: normal along delta; inside: nearest-exit-face normal
+    n_out = delta / jnp.maximum(d, 1e-9)[..., None]
+    exit_d = hb - jnp.abs(cl)
+    axis = jnp.argmin(exit_d, axis=-1)
+    sign = jnp.where(cl >= 0, 1.0, -1.0)
+    n_in = jnp.take_along_axis(sign, axis[..., None], axis=-1) \
+        * jnp.eye(3, dtype=c.dtype)[axis]
+    n_local = jnp.where(outside[..., None], n_out, n_in)
+    pen = jnp.where(outside, radius - d,
+                    radius + jnp.min(exit_d, axis=-1))
+    n = quatm.rotate(qb, n_local)
+    p = c - n * radius
+    active = pen > -MARGIN
+    return (p[..., None, :], n[..., None, :], pen[..., None],
+            active[..., None])
 
 
 def box_cylinder_upright(cb, qb, hb, cc, radius, half_len):
@@ -146,19 +236,36 @@ def box_cylinder_upright(cb, qb, hb, cc, radius, half_len):
     delta = c_local - clamped
     # horizontal separation only (upright assumption)
     d_xy = jnp.linalg.norm(delta[..., :2], axis=-1)
-    lateral_pen = radius - d_xy
-    n_lat_local = jnp.where(
-        d_xy[..., None] > 1e-6,
-        jnp.concatenate([delta[..., :2] / jnp.maximum(d_xy[..., None], 1e-6),
-                         jnp.zeros_like(delta[..., :1])], axis=-1),
-        jnp.array([1.0, 0.0, 0.0], cc.dtype))
-    lat_active = (lateral_pen > -MARGIN) & (jnp.abs(c_local[..., 2]) < hb[..., 2] + half_len)
+    outside = d_xy > 1e-6
+    # axis inside the box in XY (deep penetration): push out through the
+    # nearest exit face instead of an arbitrary direction — a garbage
+    # default normal here launches the puck sideways once a fast finger
+    # overruns it (seen in the slide strike).
+    exit_d = hb[..., :2] - jnp.abs(c_local[..., :2])       # (...,2) >= 0 inside
+    ax_min = jnp.argmin(exit_d, axis=-1)
+    sgn_xy = jnp.where(c_local[..., :2] >= 0, 1.0, -1.0)
+    onehot = jax.nn.one_hot(ax_min, 2, dtype=cc.dtype)
+    n_in_xy = sgn_xy * onehot
+    lateral_pen = jnp.where(outside, radius - d_xy,
+                            radius + jnp.min(exit_d, axis=-1))
+    n_out_xy = delta[..., :2] / jnp.maximum(d_xy[..., None], 1e-6)
+    n_lat_local = jnp.concatenate(
+        [jnp.where(outside[..., None], n_out_xy, n_in_xy),
+         jnp.zeros_like(delta[..., :1])], axis=-1)
     p_lat = cc - quatm.rotate(qb, n_lat_local) * radius
     # vertical contact: cylinder bottom cap vs box top face (or cap vs bottom)
     vert_pen = (hb[..., 2] + half_len) - jnp.abs(c_local[..., 2])
     inside_xy = (jnp.abs(c_local[..., 0]) < hb[..., 0] + radius) & \
                 (jnp.abs(c_local[..., 1]) < hb[..., 1] + radius)
-    vert_active = (vert_pen > -MARGIN) & inside_xy
+    # the two candidates are EXCLUSIVE, keyed on the minimum-penetration
+    # (SAT) direction: a side contact z-overlaps the box by centimetres, and
+    # letting the vertical lane fire on that fake depth squeezes the puck
+    # into the table until it squirts out watermelon-seed style (seen as the
+    # slide puck launching at metres per second under a pushing finger).
+    side_is_min = lateral_pen <= vert_pen
+    lat_active = ((lateral_pen > -MARGIN) & side_is_min
+                  & (jnp.abs(c_local[..., 2]) < hb[..., 2] + half_len))
+    vert_active = (vert_pen > -MARGIN) & inside_xy & ~side_is_min
     sign_z = jnp.where(c_local[..., 2] >= 0, 1.0, -1.0)
     n_vert_local = jnp.stack([jnp.zeros_like(sign_z), jnp.zeros_like(sign_z),
                               sign_z], axis=-1)

@@ -6,11 +6,15 @@ Replaces Bullet's ``stepSimulation`` + PD motors + sequential-impulse solver
 
 * **Arm**: decoupled joint servos reproducing Bullet POSITION_CONTROL
   semantics (v* = gain/dt * error, impulse capped at force*dt / I_eff) —
-  the arm is a *kinematic driver* for contact purposes (force-200 PD is stiff
-  enough that back-reaction on the arm is negligible for these tasks).
-* **Fingers**: 1-DoF prismatic states with PD drive and full contact
-  coupling along the finger axis — grip force saturates at the PD force cap,
-  which is what makes friction grasps behave like Bullet's.
+  AND a 7-DoF contact entity: collision impulses on the arm's sphere chain,
+  the finger pads and the palm couple back into the joint velocities through
+  per-contact point Jacobians with the effective joint inertias, so the table,
+  blocks and chest physically stop the arm (the reference collides the whole
+  arm via Bullet, `robots/robot_bases.py:62-84`).
+* **Fingers**: 1-DoF prismatic states with PD drive; finger contacts couple
+  both along the finger axis AND into the arm joints — grip force saturates
+  at the PD force cap, which is what makes friction grasps behave like
+  Bullet's.
 * **Free bodies**: maximal-coordinate 6-DoF integration, semi-implicit Euler.
 * **Contacts**: fixed-topology analytic colliders (ops/contact.py) solved with
   mass-splitting Jacobi iterations (Baumgarte stabilisation, friction-cone
@@ -21,6 +25,9 @@ Replaces Bullet's ``stepSimulation`` + PD motors + sequential-impulse solver
 
 One control step = ``n_substeps`` scanned substeps of ``dt`` seconds
 (reference: 5 stepSimulation x 20 numSubSteps x 0.002 s = 100 substeps).
+Each substep is velocity-level: servos and gravity update velocities, the
+contact solve corrects them, then ALL coordinates (q, fq, body poses, door)
+integrate with the corrected velocities.
 """
 
 import dataclasses
@@ -43,9 +50,12 @@ SIM_CALLS_PER_STEP = 5          # kuka.py:223-225
 ARM_SERVO_RATE = KM.ARM_PD_POSITION_GAIN / DT_SUB     # 15 s^-1
 FINGER_VEL_LIMIT = 0.2          # URDF finger joint <limit velocity>
 ARM_VEL_LIMIT = 10.0
+BIAS_CAP = 0.5                  # max penetration-recovery velocity (m/s)
 
 # entity type codes for contact sides
-T_BODY, T_FINGER, T_DOOR, T_WORLD = 0, 1, 2, 3
+T_BODY, T_FINGER, T_DOOR, T_WORLD, T_ARM = 0, 1, 2, 3, 4
+
+N_ARM_SPHERES = len(KM.ARM_SPHERE_RADIUS)
 
 
 class PhysicsState(NamedTuple):
@@ -70,15 +80,19 @@ class Controls(NamedTuple):
     door_target: jnp.ndarray     # ()
 
 
-def _one_hot_axis(idx):
-    return np.eye(3)[idx]
+def arm_sphere_positions(link_pos, link_rot, dtype=jnp.float32):
+    """World centres of the arm collision spheres (KM.ARM_SPHERE_*)."""
+    li = KM.ARM_SPHERE_LINK
+    off = jnp.asarray(KM.ARM_SPHERE_OFFSET, dtype)
+    return link_pos[..., li, :] + quatm.rotate(link_rot[..., li, :], off)
 
 
 class Engine:
     """Compiled physics for one SceneSpec. All spec data are trace constants."""
 
     def __init__(self, spec: S.SceneSpec, solver_iters: int = 8,
-                 erp: float = 0.2, slop: float = 5e-4):
+                 erp: float = 0.2, slop: float = 5e-4,
+                 arm_collision: bool = True):
         # solver_iters: Bullet runs 5 Gauss-Seidel iterations
         # (base_env.py:216); this mass-splitting Jacobi solver converges a
         # little slower per iteration, 8 keeps grasp/tower parity with margin
@@ -87,6 +101,7 @@ class Engine:
         self.solver_iters = solver_iters
         self.erp = erp
         self.slop = slop
+        self.arm_collision = arm_collision
         self.nb = max(spec.n_bodies, 1)
         a = spec.np_arrays() if spec.n_bodies > 0 else None
 
@@ -143,18 +158,25 @@ class Engine:
             self.door_geom_pos = np.asarray(self.door.geom_pos, np.float32).reshape(-1, 3)
             self.door_inv_mass = 1.0 / max(self.door.mass, 0.25)
         self.finger_mass = KM.FINGER_MASS * KM.FINGER_INERTIA_SCALING
+        self.arm_inv_inertia = (1.0 / np.asarray(KM.ARM_EFFECTIVE_INERTIA)
+                                ).astype(np.float32)
 
         self._build_contact_plan()
 
     # ------------------------------------------------------------------ plan
     def _build_contact_plan(self):
         """Precompute the static contact topology: for each contact lane, the
-        generator module it comes from and the two entity descriptors."""
+        generator module it comes from and the two entity descriptors.
+
+        Entity side conventions: colliders return normals pushing side A away
+        from side B, so A must be the entity the normal accelerates (+n)."""
         plan = []   # list of dicts per module; lanes concatenated at runtime
+        BB = 9      # box_box manifold size (2x4 incident-face corners
+                    # + 1 cross-piercing fallback, contact.py:box_box)
 
         # geom vs support plane
         for g in range(self.ng):
-            n_pts = 8 if self.geom_type[g] == S.BOX else 4
+            n_pts = 4   # 4 bottom-face corners (box) / 4 rim points (cyl)
             plan.append(dict(kind='plane', geom=g, n=n_pts,
                              ent_a=(T_BODY, self.geom_body[g]),
                              ent_b=(T_WORLD, 0),
@@ -168,13 +190,13 @@ class Engine:
                     continue
                 if self.body_inv_mass[bi] == 0 and self.body_inv_mass[bj] == 0:
                     continue
-                plan.append(dict(kind='geom_geom', geom=i, geom2=j, n=16,
+                plan.append(dict(kind='geom_geom', geom=i, geom2=j, n=BB,
                                  ent_a=(T_BODY, bi), ent_b=(T_BODY, bj),
                                  friction=self.body_friction[bi] * self.body_friction[bj]))
         # finger vs geom
         for f in range(2):
             for g in range(self.ng):
-                n_pts = 16 if self.geom_type[g] == S.BOX else 2
+                n_pts = BB if self.geom_type[g] == S.BOX else 2
                 plan.append(dict(kind='finger_geom', finger=f, geom=g, n=n_pts,
                                  ent_a=(T_BODY, self.geom_body[g]),
                                  ent_b=(T_FINGER, f),
@@ -182,7 +204,7 @@ class Engine:
         # geom vs static boxes
         for g in range(self.ng):
             for s in range(len(self.static_half)):
-                plan.append(dict(kind='geom_static', geom=g, static=s, n=16,
+                plan.append(dict(kind='geom_static', geom=g, static=s, n=BB,
                                  ent_a=(T_BODY, self.geom_body[g]),
                                  ent_b=(T_WORLD, 0),
                                  friction=self.body_friction[self.geom_body[g]]
@@ -191,38 +213,99 @@ class Engine:
             # geom vs door
             for g in range(self.ng):
                 for d in range(len(self.door_geom_half)):
-                    plan.append(dict(kind='geom_door', geom=g, dgeom=d, n=16,
+                    plan.append(dict(kind='geom_door', geom=g, dgeom=d, n=BB,
                                      ent_a=(T_BODY, self.geom_body[g]),
                                      ent_b=(T_DOOR, 0),
                                      friction=self.body_friction[self.geom_body[g]] * 0.5))
             # finger vs door (normal pushes the door: door is side A)
             for f in range(2):
                 for d in range(len(self.door_geom_half)):
-                    plan.append(dict(kind='finger_door', finger=f, dgeom=d, n=16,
+                    plan.append(dict(kind='finger_door', finger=f, dgeom=d, n=BB,
                                      ent_a=(T_DOOR, 0), ent_b=(T_FINGER, f),
                                      friction=1.0))
+        if self.arm_collision:
+            # finger pads vs table plane / static walls (normal pushes finger)
+            for f in range(2):
+                plan.append(dict(kind='finger_plane', finger=f, n=4,
+                                 ent_a=(T_FINGER, f), ent_b=(T_WORLD, 0),
+                                 friction=1.0 * self.spec.plane_friction))
+                for s in range(len(self.static_half)):
+                    plan.append(dict(kind='finger_static', finger=f, static=s,
+                                     n=BB, ent_a=(T_FINGER, f),
+                                     ent_b=(T_WORLD, 0),
+                                     friction=1.0 * self.static_fric[s]))
+            # arm sphere chain vs plane / geoms / statics / door
+            for sp in range(N_ARM_SPHERES):
+                plan.append(dict(kind='arm_plane', sphere=sp, n=1,
+                                 ent_a=(T_ARM, sp), ent_b=(T_WORLD, 0),
+                                 friction=0.5 * self.spec.plane_friction))
+                for g in range(self.ng):
+                    if self.body_inv_mass[self.geom_body[g]] == 0:
+                        arm_fr = 0.5 * self.body_friction[self.geom_body[g]]
+                    else:
+                        arm_fr = 0.5 * self.body_friction[self.geom_body[g]]
+                    plan.append(dict(kind='arm_geom', sphere=sp, geom=g, n=1,
+                                     ent_a=(T_ARM, sp),
+                                     ent_b=(T_BODY, self.geom_body[g]),
+                                     friction=arm_fr))
+                for s in range(len(self.static_half)):
+                    plan.append(dict(kind='arm_static', sphere=sp, static=s,
+                                     n=1, ent_a=(T_ARM, sp), ent_b=(T_WORLD, 0),
+                                     friction=0.5 * self.static_fric[s]))
+                if self.door is not None:
+                    for d in range(len(self.door_geom_half)):
+                        plan.append(dict(kind='arm_door', sphere=sp, dgeom=d,
+                                         n=1, ent_a=(T_ARM, sp),
+                                         ent_b=(T_DOOR, 0), friction=0.5))
         self.plan = plan
         self.n_contacts = sum(p['n'] for p in plan)
         # flattened per-lane entity descriptors
-        ta, ia, tb, ib, fr = [], [], [], [], []
+        ta, ia, tb, ib, fr, ll, cp = [], [], [], [], [], [], []
         for p in plan:
             ta += [p['ent_a'][0]] * p['n']
             ia += [p['ent_a'][1]] * p['n']
             tb += [p['ent_b'][0]] * p['n']
             ib += [p['ent_b'][1]] * p['n']
             fr += [p['friction']] * p['n']
+            # arm parent joint for Jacobian masking: sphere lanes couple
+            # joints 1..link+1; finger/palm lanes ride on link 7 (all joints)
+            if p['ent_a'][0] == T_ARM:
+                link = KM.ARM_SPHERE_LINK[p['ent_a'][1]]
+            elif T_FINGER in (p['ent_a'][0], p['ent_b'][0]):
+                link = 6
+            else:
+                link = -1
+            ll += [link] * p['n']
+            # compliance back-coupling into the arm joints. ON for arm-sphere
+            # lanes and finger-vs-world lanes (the table must be able to STOP
+            # the arm, VERDICT #3); OFF for finger-vs-movable lanes
+            # (finger_geom / finger_door): there the finger stays laterally
+            # kinematic — Bullet's 200 N motor constraints hold the arm
+            # trajectory against a 2 kg block, and the frozen-arm impulse
+            # scheme overshoots into backward arm kicks if allowed to yield
+            # (seen as the slide puck launched off the table). The arm point
+            # velocity (lane_link mask) still applies to every finger lane.
+            couple = (p['ent_a'][0] == T_ARM
+                      or p['kind'] in ('finger_plane', 'finger_static'))
+            cp += [1.0 if couple else 0.0] * p['n']
         z = max(self.n_contacts, 1)
         self.lane_type_a = np.zeros((z,), np.int32)
         self.lane_idx_a = np.zeros((z,), np.int32)
         self.lane_type_b = np.full((z,), T_WORLD, np.int32)
         self.lane_idx_b = np.zeros((z,), np.int32)
         self.lane_friction = np.zeros((z,), np.float32)
+        self.lane_link = np.full((z,), -1, np.int32)
+        self.lane_couple = np.zeros((z,), np.float32)
         if self.n_contacts:
             self.lane_type_a[:] = ta
             self.lane_idx_a[:] = ia
             self.lane_type_b[:] = tb
             self.lane_idx_b[:] = ib
             self.lane_friction[:] = fr
+            self.lane_link[:] = ll
+            self.lane_couple[:] = cp
+        # does any lane touch the arm entity (spheres or fingers)?
+        self.has_arm_lanes = bool(np.any(self.lane_link >= 0))
 
     # ------------------------------------------------------------ door frame
     def door_frame(self, door_q):
@@ -246,7 +329,8 @@ class Engine:
         return jnp.cross(jnp.broadcast_to(axis, points.shape), points - anchor)
 
     # -------------------------------------------------------------- contacts
-    def _gen_contacts(self, body_pos, body_quat, finger_pos, finger_rot, door_q):
+    def _gen_contacts(self, body_pos, body_quat, finger_pos, finger_rot,
+                      door_q, sphere_pos):
         """Generate all contact lanes. Returns (pts, nrm, pen, active) with
         leading dim n_contacts."""
         if self.n_contacts == 0:
@@ -256,6 +340,8 @@ class Engine:
             body_quat[self.geom_body], jnp.asarray(self.geom_pos))
         geom_q = body_quat[self.geom_body]
         fhalf = jnp.asarray(KM.FINGER_HALF_EXTENTS, jnp.float32)
+        radii = KM.ARM_SPHERE_RADIUS
+        id_q = jnp.array([1.0, 0, 0, 0], jnp.float32)
         if self.door is not None:
             dpos, drot = self.door_frame(door_q)
             dgeom_c = dpos + quatm.rotate(drot, jnp.asarray(self.door_geom_pos))
@@ -290,8 +376,7 @@ class Engine:
             elif k == 'geom_static':
                 g, s = p['geom'], p['static']
                 o = C.box_box(geom_c[g], geom_q[g], jnp.asarray(self.geom_half[g]),
-                              jnp.asarray(self.static_pos[s]),
-                              jnp.array([1.0, 0, 0, 0], jnp.float32),
+                              jnp.asarray(self.static_pos[s]), id_q,
                               jnp.asarray(self.static_half[s]))
             elif k == 'geom_door':
                 g, d = p['geom'], p['dgeom']
@@ -303,6 +388,34 @@ class Engine:
                 o = C.box_box(dgeom_c[d], dgeom_q[d],
                               jnp.asarray(self.door_geom_half[d]),
                               finger_pos[f], finger_rot[f], fhalf)
+            elif k == 'finger_plane':
+                f = p['finger']
+                o = C.box_plane(finger_pos[f], finger_rot[f], fhalf,
+                                self.spec.plane_z)
+            elif k == 'finger_static':
+                f, s = p['finger'], p['static']
+                o = C.box_box(finger_pos[f], finger_rot[f], fhalf,
+                              jnp.asarray(self.static_pos[s]), id_q,
+                              jnp.asarray(self.static_half[s]))
+            elif k == 'arm_plane':
+                sp = p['sphere']
+                o = C.sphere_plane(sphere_pos[sp], float(radii[sp]),
+                                   self.spec.plane_z)
+            elif k == 'arm_geom':
+                sp, g = p['sphere'], p['geom']
+                o = C.sphere_box(sphere_pos[sp], float(radii[sp]),
+                                 geom_c[g], geom_q[g],
+                                 jnp.asarray(self.geom_half[g]))
+            elif k == 'arm_static':
+                sp, s = p['sphere'], p['static']
+                o = C.sphere_box(sphere_pos[sp], float(radii[sp]),
+                                 jnp.asarray(self.static_pos[s]), id_q,
+                                 jnp.asarray(self.static_half[s]))
+            elif k == 'arm_door':
+                sp, d = p['sphere'], p['dgeom']
+                o = C.sphere_box(sphere_pos[sp], float(radii[sp]),
+                                 dgeom_c[d], dgeom_q[d],
+                                 jnp.asarray(self.door_geom_half[d]))
             else:
                 raise ValueError(k)
             pts.append(o[0].reshape(-1, 3))
@@ -313,10 +426,26 @@ class Engine:
                 jnp.concatenate(pen), jnp.concatenate(act))
 
     # ---------------------------------------------------------------- solver
-    def _solve(self, state, pts, nrm, pen, active, finger_kin_vel,
-               finger_axis_w, door_q):
-        """Mass-splitting Jacobi contact solve. Returns velocity deltas and the
-        total impulse applied to each finger (world frame, for the EE sensor)."""
+    def _solve(self, state, pts, nrm, pen, active, finger_axis_w,
+               door_q, link_pos, link_z):
+        """Mass-splitting Jacobi contact solve. Velocity-level: takes the
+        post-servo velocities in ``state`` and returns corrected
+        (v_lin, v_ang, fqd, door_qd, qd) plus the total impulse applied onto
+        the gripper (fingers + palm/link-7 spheres) for the EE force sensor.
+
+        The arm is a 7-DoF entity: a contact at point p on a part attached to
+        joint frame L couples joints 1..L+1 through the point Jacobian
+        J_i(p) = z_i x (p - o_i), with per-joint effective inertias
+        KM.ARM_EFFECTIVE_INERTIA (the same decoupled-inertia model the servo
+        uses). Finger lanes couple the finger axis AND the arm.
+
+        Arm-coupling scheme (chosen for an identical, VMEM-cheap Pallas
+        port): the arm's effective inverse mass along each contact direction
+        is EXACT and enters k, and the arm's point velocity enters the
+        relative velocity as a constant offset — but the arm velocity is
+        FROZEN during the solver iterations; the total contact impulse is
+        applied to qd once after the loop. Within-substep the arm does not
+        yield; across the 100 x 2 ms substeps the coupling is two-way."""
         nc = pts.shape[0]
         dt32 = jnp.float32
         type_a = jnp.asarray(self.lane_type_a)
@@ -324,6 +453,7 @@ class Engine:
         type_b = jnp.asarray(self.lane_type_b)
         idx_b = jnp.asarray(self.lane_idx_b)
         mu = jnp.asarray(self.lane_friction)
+        lane_link = jnp.asarray(self.lane_link)
 
         inv_mass = jnp.asarray(self.body_inv_mass)
         # world-frame inverse inertia per body
@@ -345,6 +475,16 @@ class Engine:
         door_jac = (self.door_point_jac(pts, door_q) if self.door is not None
                     else jnp.zeros_like(pts))
 
+        # arm point Jacobians: (nc, 7, 3), masked to joints <= lane_link
+        if self.has_arm_lanes:
+            jmask = (jnp.arange(7)[None, :] <= lane_link[:, None]).astype(dt32)
+            arm_jac = jnp.cross(link_z[None, :, :],
+                                pts[:, None, :] - link_pos[None, :, :])
+            arm_jac = arm_jac * jmask[:, :, None]
+            inv_I_arm = jnp.asarray(self.arm_inv_inertia)
+        else:
+            arm_jac = None
+
         activef = active.astype(dt32)
 
         # number of active contacts per entity (mass splitting)
@@ -356,9 +496,22 @@ class Engine:
         fin_counts = (_count(type_a, idx_a, T_FINGER, 2)
                       + _count(type_b, idx_b, T_FINGER, 2))
         door_count = jnp.sum(activef * ((type_a == T_DOOR) | (type_b == T_DOOR)))
+        couple = jnp.asarray(self.lane_couple)
+        arm_count = jnp.sum(activef * couple)
         nb_counts = jnp.maximum(nb_counts, 1.0)
         fin_counts = jnp.maximum(fin_counts, 1.0)
         door_count = jnp.maximum(door_count, 1.0)
+        arm_count = jnp.maximum(arm_count, 1.0)
+
+        def k_arm(d):
+            """Arm-coupling effective inverse mass along d — only lanes with
+            lane_couple=1 let the arm yield (arm spheres + finger-vs-world);
+            finger-vs-movable lanes keep an infinitely stiff arm."""
+            if arm_jac is None:
+                return 0.0
+            jd = jnp.einsum('cji,ci->cj', arm_jac, d)      # (nc,7)
+            return (jnp.einsum('cj,j->c', jd * jd, inv_I_arm)
+                    * couple * arm_count)
 
         def k_dir(d, etype, eidx, r):
             """Split-mass effective inverse mass of one side along direction d."""
@@ -367,7 +520,7 @@ class Engine:
             k_body = inv_mass[eidx] + jnp.einsum(
                 'ci,cij,cj->c', rxd, inv_I_w[eidx], rxd)
             k_body = k_body * nb_counts[eidx]
-            # finger term
+            # finger term (axis only; the arm part is added once per lane)
             ax = finger_axis_w[jnp.clip(eidx, 0, 1)]
             k_fin = (jnp.einsum('ci,ci->c', d, ax) ** 2 / self.finger_mass
                      ) * fin_counts[jnp.clip(eidx, 0, 1)]
@@ -381,25 +534,49 @@ class Engine:
                              jnp.where(etype == T_FINGER, k_fin,
                                        jnp.where(etype == T_DOOR, k_door, 0.0)))
 
-        kn = k_dir(nrm, type_a, idx_a, r_a) + k_dir(nrm, type_b, idx_b, r_b)
-        kt1 = k_dir(t1, type_a, idx_a, r_a) + k_dir(t1, type_b, idx_b, r_b)
-        kt2 = k_dir(t2, type_a, idx_a, r_a) + k_dir(t2, type_b, idx_b, r_b)
+        kn = k_dir(nrm, type_a, idx_a, r_a) + k_dir(nrm, type_b, idx_b, r_b) \
+            + k_arm(nrm)
+        kt1 = k_dir(t1, type_a, idx_a, r_a) + k_dir(t1, type_b, idx_b, r_b) \
+            + k_arm(t1)
+        kt2 = k_dir(t2, type_a, idx_a, r_a) + k_dir(t2, type_b, idx_b, r_b) \
+            + k_arm(t2)
         solvable = active & (kn > 1e-8)
         kn = jnp.maximum(kn, 1e-8)
         kt1 = jnp.maximum(kt1, 1e-8)
         kt2 = jnp.maximum(kt2, 1e-8)
 
-        bias = -(self.erp / DT_SUB) * jnp.maximum(pen - self.slop, 0.0)
+        # Baumgarte bias with a capped recovery velocity: the raw erp/dt gain
+        # is 100/s, so a deep overlap (e.g. 5 mm at spawn or after a fast
+        # sweep) would eject bodies at metres per second with kN force
+        # spikes. Bullet avoids this with split-impulse position correction;
+        # the cap is the cheap equivalent (still recovers 1 mm per substep).
+        bias = -jnp.minimum(
+            (self.erp / DT_SUB) * jnp.maximum(pen - self.slop, 0.0),
+            BIAS_CAP)
+
+        # sign of the arm-side coupling per lane: +1 when the arm part is
+        # entity A (normal accelerates it), -1 when entity B
+        arm_sgn = jnp.where((type_a == T_ARM) | (type_a == T_FINGER), 1.0,
+                            jnp.where((type_b == T_FINGER), -1.0, 0.0))
+
+        # frozen arm point velocity (per-lane world vector, constant through
+        # the iteration loop): v_arm(p) = J(p) qd at the pre-solve qd
+        if arm_jac is not None:
+            v_arm_const = jnp.einsum('cji,j->ci', arm_jac, state.qd)
+        else:
+            v_arm_const = jnp.zeros_like(pts)
 
         def point_vel(etype, eidx, r, v_lin, v_ang, fqd, door_qd):
             v_body = v_lin[eidx] + jnp.cross(v_ang[eidx], r)
             fi = jnp.clip(eidx, 0, 1)
-            v_fin = finger_kin_vel[fi] + finger_axis_w[fi] * fqd[fi][:, None]
+            v_fin = v_arm_const + finger_axis_w[fi] * fqd[fi][:, None]
             v_door = door_jac * door_qd
             return jnp.where((etype == T_BODY)[:, None], v_body,
                              jnp.where((etype == T_FINGER)[:, None], v_fin,
                                        jnp.where((etype == T_DOOR)[:, None],
-                                                 v_door, 0.0)))
+                                                 v_door,
+                                                 jnp.where((etype == T_ARM)[:, None],
+                                                           v_arm_const, 0.0))))
 
         def apply_impulse(imp, etype, eidx, r, sgn, carry):
             v_lin, v_ang, fqd, door_qd = carry
@@ -429,10 +606,12 @@ class Engine:
             and both friction increments computed from it, ONE combined
             impulse applied per side. 2.5x cheaper per iteration than the
             sequential normal-then-friction variant (the solver loop is the
-            dispatch-bound hot path: ~10 segment_sums -> 4)."""
+            dispatch-bound hot path)."""
             v_lin, v_ang, fqd, door_qd, lam_n, lam_t1, lam_t2 = carry
             va = point_vel(type_a, idx_a, r_a, v_lin, v_ang, fqd, door_qd)
             vb = point_vel(type_b, idx_b, r_b, v_lin, v_ang, fqd, door_qd)
+            # pure-arm lanes have the arm only on side A (T_ARM); finger lanes
+            # carry the arm part inside their T_FINGER point_vel already
             vrel = va - vb
             vn = jnp.einsum('ci,ci->c', vrel, nrm)
             dln = jnp.where(solvable, -(vn + bias) / kn, 0.0)
@@ -459,48 +638,61 @@ class Engine:
             return (v_lin, v_ang, fqd, door_qd, lam_n, lam_t1, lam_t2)
 
         zeros_c = jnp.zeros((nc,), dt32)
-        carry = (state.body_linvel, state.body_angvel, state.fqd, state.door_qd,
-                 zeros_c, zeros_c, zeros_c)
+        carry = (state.body_linvel, state.body_angvel, state.fqd,
+                 state.door_qd, zeros_c, zeros_c, zeros_c)
         carry = jax.lax.fori_loop(0, self.solver_iters, iteration, carry)
         v_lin, v_ang, fqd, door_qd, lam_n, lam_t1, lam_t2 = carry
 
-        # total world impulse applied *onto the fingers* (reaction), for the
-        # EE force-torque sensor (kuka.py:250-254)
+        # total world impulse per lane
         total_imp = nrm * lam_n[:, None] + t1 * lam_t1[:, None] + t2 * lam_t2[:, None]
+
+        # arm coupling: apply the accumulated impulses to the joint
+        # velocities once (frozen-arm scheme, see docstring)
+        if arm_jac is not None:
+            jd = jnp.einsum('cji,ci->cj', arm_jac,
+                            total_imp * (arm_sgn * couple)[:, None])  # (nc,7)
+            qd = state.qd + jnp.sum(jd, axis=0) * inv_I_arm
+        else:
+            qd = state.qd
+
+        # total impulse applied *onto the gripper* (fingers + palm/link-7
+        # spheres), for the EE force-torque sensor (kuka.py:250-254)
+        on_hand_a = ((type_a == T_FINGER)
+                     | ((type_a == T_ARM) & (lane_link == 6)))
         sgn_fin = jnp.where(type_b == T_FINGER, -1.0,
-                            jnp.where(type_a == T_FINGER, 1.0, 0.0))
+                            jnp.where(on_hand_a, 1.0, 0.0))
         fin_imp = jnp.sum(total_imp * sgn_fin[:, None], axis=0)
-        return v_lin, v_ang, fqd, door_qd, fin_imp
+        return v_lin, v_ang, fqd, door_qd, qd, fin_imp
 
     # ---------------------------------------------------------------- substep
-    def substep(self, state: PhysicsState, controls: Controls,
-                prev_finger_pos=None):
-        """One 2 ms substep. ``prev_finger_pos``: finger frame positions from
-        the previous substep's FK (threaded through the control_step carry so
-        only ONE FK chain runs per substep); None recomputes it (2 FK passes).
-        Returns (new_state, new_finger_pos)."""
+    def substep(self, state: PhysicsState, controls: Controls):
+        """One 2 ms velocity-level substep: servos + gravity propose
+        velocities, contacts (generated at the CURRENT coordinates) correct
+        them, then all coordinates integrate together."""
         dt = DT_SUB
-        # 1. arm servo (kinematic driver; Bullet POSITION_CONTROL semantics)
+        # 1. arm servo (Bullet POSITION_CONTROL: velocity toward target,
+        # impulse capped by force * dt / I_eff)
         q_err = controls.q_target - state.q
         v_des = jnp.clip(ARM_SERVO_RATE * q_err, -ARM_VEL_LIMIT, ARM_VEL_LIMIT)
         dv_max = KM.ARM_PD_FORCE * dt / jnp.asarray(KM.ARM_EFFECTIVE_INERTIA,
                                                     jnp.float32)
         qd = state.qd + jnp.clip(v_des - state.qd, -dv_max, dv_max)
-        q = jnp.clip(state.q + qd * dt,
-                     jnp.asarray(KM.JOINT_LIMIT_LOWER, jnp.float32),
-                     jnp.asarray(KM.JOINT_LIMIT_UPPER, jnp.float32))
 
-        # 2. FK for the new configuration; kinematic finger velocity from the
-        # carried previous positions
-        if prev_finger_pos is None:
-            prev_finger_pos = fk.ee_frames(state.q, state.fq)['finger_pos']
-        ee_new = fk.ee_frames(q, state.fq)
-        # finger collision boxes are centred on the finger link frame
-        finger_pos = ee_new['finger_pos']
-        finger_rot = ee_new['finger_rot']
-        finger_kin_vel = (finger_pos - prev_finger_pos) / dt
+        # 2. FK at the current configuration
+        link_pos, link_rot = fk.link_frames(state.q)
+        p7, r7 = link_pos[6], link_rot[6]
+        dtp = state.q.dtype
+        gbase = p7 + quatm.rotate(r7, jnp.asarray(KM.GRIPPER_BASE_OFFSET, dtp))
+        floc = (jnp.asarray(KM.FINGER_ORIGIN, dtp)
+                + jnp.asarray(KM.FINGER_AXIS, dtp) * state.fq[:, None])
+        finger_pos = gbase[None] + quatm.rotate(r7[None], floc)
+        finger_rot = jnp.broadcast_to(r7, (2, 4))
         finger_axis_w = quatm.rotate(finger_rot,
                                      jnp.asarray(KM.FINGER_AXIS, jnp.float32))
+        link_z = quatm.rotate(link_rot, jnp.broadcast_to(
+            jnp.array([0.0, 0.0, 1.0], dtp), (7, 3)))
+        sphere_pos = (arm_sphere_positions(link_pos, link_rot, dtp)
+                      if self.arm_collision else None)
 
         # 3. finger servo (PD toward the mimic-multiplied grip target)
         f_err = controls.f_target - state.fq
@@ -530,23 +722,26 @@ class Engine:
             door_qd = state.door_qd
 
         pre = state._replace(body_linvel=v_lin, body_angvel=v_ang, fqd=fqd,
-                             door_qd=door_qd)
+                             qd=qd, door_qd=door_qd)
 
         # 6. contacts + solve
         pts, nrm, pen, active = self._gen_contacts(
             state.body_pos, state.body_quat, finger_pos, finger_rot,
-            state.door_q)
+            state.door_q, sphere_pos)
         if self.n_contacts:
-            v_lin, v_ang, fqd, door_qd, fin_imp = self._solve(
-                pre, pts, nrm, pen, active, finger_kin_vel, finger_axis_w,
-                state.door_q)
+            v_lin, v_ang, fqd, door_qd, qd, fin_imp = self._solve(
+                pre, pts, nrm, pen, active, finger_axis_w,
+                state.door_q, link_pos, link_z)
             ee_force = fin_imp / dt
         else:
             # derive from state (not a fresh constant) so the leaf keeps its
             # device-varying type under shard_map
             ee_force = state.ee_contact_force * 0.0
 
-        # 7. integrate
+        # 7. integrate everything with the corrected velocities
+        q = jnp.clip(state.q + qd * dt,
+                     jnp.asarray(KM.JOINT_LIMIT_LOWER, jnp.float32),
+                     jnp.asarray(KM.JOINT_LIMIT_UPPER, jnp.float32))
         body_pos = state.body_pos + v_lin * dt
         body_quat = quatm.integrate_angvel(state.body_quat, v_ang, dt)
         fq = jnp.clip(state.fq + fqd * dt, -KM.FINGER_LIMIT, KM.FINGER_LIMIT)
@@ -560,25 +755,20 @@ class Engine:
             body_pos=body_pos, body_quat=body_quat,
             body_linvel=v_lin, body_angvel=v_ang,
             door_q=door_q, door_qd=door_qd,
-            ee_contact_force=ee_force), finger_pos
+            ee_contact_force=ee_force)
 
     def control_step(self, state: PhysicsState, controls: Controls,
                      n_sim_calls: int = SIM_CALLS_PER_STEP) -> PhysicsState:
         """One env-level action: n_sim_calls x 20 substeps (kuka.py:223-225).
 
-        The finger FK frames thread through the scan carry (one FK chain per
-        substep); the scan is unrolled so XLA fuses several substeps into one
-        kernel dispatch group — the step is dispatch-bound, not FLOP-bound."""
+        The scan is unrolled so XLA fuses several substeps into one kernel
+        dispatch group — the step is dispatch-bound, not FLOP-bound."""
         n = n_sim_calls * SUBSTEPS_PER_SIM
-        finger_pos0 = fk.ee_frames(state.q, state.fq)['finger_pos']
 
-        def body(carry, _):
-            s, fp = carry
-            s, fp = self.substep(s, controls, fp)
-            return (s, fp), None
+        def body(s, _):
+            return self.substep(s, controls), None
 
-        (state, _), _ = jax.lax.scan(body, (state, finger_pos0), None,
-                                     length=n, unroll=5)
+        state, _ = jax.lax.scan(body, state, None, length=n, unroll=5)
         return state
 
     # ------------------------------------------------------------------ init

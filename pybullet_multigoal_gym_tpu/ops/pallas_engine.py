@@ -8,14 +8,16 @@ VPU tiles: every per-env scalar is one tile, vectors are (3, 8, 128), and
 contact lanes stack on a leading axis. All 100 substeps run inside the
 kernel with state resident in VMEM — zero HBM round-trips, zero dispatch.
 
-Physics semantics are identical to ops/dynamics.py (same servo model, SAT
-box-box manifolds, mass-splitting fused Jacobi solver, Baumgarte bias,
-friction clamp) for the single-free-body scenes of the single-step family —
-the headline benchmark config (push, 4096 envs). Parity is asserted in
-tests/test_pallas_engine.py against the XLA engine.
+Physics semantics are identical to ops/dynamics.py (same velocity-level
+substep, servo model, SAT box-box manifolds with the cross-piercing
+fallback, arm sphere-chain collision with frozen-arm joint coupling,
+mass-splitting fused Jacobi solver, Baumgarte bias, friction clamp) for the
+single-free-body scenes of the single-step family — the headline benchmark
+config (push, 4096 envs). Parity is asserted in tests/test_pallas_engine.py
+against the XLA engine.
 
 Scope: single_step scenes (1 box or cylinder object + plane + 2 fingers).
-Other families fall back to the XLA engine.
+Other families run ops/pallas_multibody.py or fall back to the XLA engine.
 """
 
 import functools
@@ -119,12 +121,17 @@ _OQ = np.asarray(_fk._ORIGIN_QUAT_NP)
 _OXYZ = np.asarray(KM.JOINT_ORIGIN_XYZ)
 
 
-def fk_fingers(q_rows, fq_rows):
-    """Tile FK: gripper link-7 frame + finger box centres.
+def fk_chain(q_rows, fq_rows):
+    """Tile FK of the whole arm chain (mirrors ops/fk.py:link_frames +
+    the finger/sphere placement in ops/dynamics.py:substep).
 
-    Mirrors ops/fk.py:ee_frames for the pieces the physics needs."""
+    Returns dict with per-joint origin tiles ``o`` (list of 7 (3,T)), joint
+    z axes ``z`` (list of 7 (3,T)), link-7 quat ``r7``, finger box centres
+    ``fpos`` (list of 2 (3,T)), finger axes ``faxis``, and the arm collision
+    sphere centres ``spheres`` (list of (3,T), per KM.ARM_SPHERE_*)."""
     p = _cv([0.0, 0.0, 0.0])
     r = _cq([1.0, 0.0, 0.0, 0.0])
+    origins, rots = [], []
     for j in range(7):
         p = p + qrotate(r, _cv(_OXYZ[j]))
         r = qmul(r, _cq(_OQ[j]))
@@ -132,14 +139,30 @@ def fk_fingers(q_rows, fq_rows):
         jq = jnp.stack([jnp.cos(half), jnp.zeros_like(half),
                         jnp.zeros_like(half), jnp.sin(half)])
         r = qmul(r, jq)
-    gbase = p + qrotate(r, _cv(KM.GRIPPER_BASE_OFFSET))
-    fpos = []
+        origins.append(p)
+        rots.append(r)
+    z = [qrotate(rots[j], _cv([0.0, 0.0, 1.0])) for j in range(7)]
+    r7 = rots[6]
+    gbase = origins[6] + qrotate(r7, _cv(KM.GRIPPER_BASE_OFFSET))
+    fpos, faxis = [], []
     for f in range(2):
         loc = (_cv(KM.FINGER_ORIGIN[f])
                + _cv(KM.FINGER_AXIS[f]) * fq_rows[f][None])
-        fpos.append(gbase + qrotate(r, loc))
-    axis_w = [qrotate(r, _cv(KM.FINGER_AXIS[f])) for f in range(2)]
-    return r, fpos, axis_w
+        fpos.append(gbase + qrotate(r7, loc))
+        faxis.append(qrotate(r7, _cv(KM.FINGER_AXIS[f])))
+    spheres = []
+    for sp in range(len(KM.ARM_SPHERE_RADIUS)):
+        li = int(KM.ARM_SPHERE_LINK[sp])
+        spheres.append(origins[li]
+                       + qrotate(rots[li], _cv(KM.ARM_SPHERE_OFFSET[sp])))
+    return dict(o=origins, z=z, r7=r7, gbase=gbase, fpos=fpos, faxis=faxis,
+                spheres=spheres)
+
+
+def fk_fingers(q_rows, fq_rows):
+    """Back-compat helper: (r7, fpos, faxis)."""
+    ch = fk_chain(q_rows, fq_rows)
+    return ch['r7'], ch['fpos'], ch['faxis']
 
 
 _CORNER_SIGNS = [(sx, sy, sz) for sx in (-1.0, 1.0) for sy in (-1.0, 1.0)
@@ -147,37 +170,60 @@ _CORNER_SIGNS = [(sx, sy, sz) for sx in (-1.0, 1.0) for sy in (-1.0, 1.0)
 
 
 class _Lane(NamedTuple):
+    """One contact lane plus its STATIC solver metadata.
+
+    body_sgn: +-1 when the free body is on side A/B, 0 when uninvolved.
+    finger_idx / fin_sgn: finger DOF coupling (sign = side of the finger).
+    link: arm velocity-Jacobian mask — joints 0..link contribute the arm
+    point velocity (−1 = no arm part), the same convention as
+    Engine.lane_link (dynamics.py).
+    arm_sgn: sign of the arm-side coupling (dynamics.py arm_sgn).
+    couple: 1.0 when the lane lets the arm YIELD (k_arm term + qd impulse
+    back-reaction; dynamics.py lane_couple) — arm spheres and finger-vs-world
+    lanes only. Finger-vs-movable lanes keep a kinematically stiff arm.
+    ee_sgn: contribution sign to the EE force sensor (finger side, or the
+    link-7/palm spheres)."""
     pt: jnp.ndarray        # (3,8,128)
     nrm: jnp.ndarray       # (3,8,128)
     pen: jnp.ndarray       # (8,128)
     active: jnp.ndarray    # (8,128) f32 0/1
     mu: float
-    is_finger: int         # -1 = body-vs-world, 0/1 = finger index (side B)
+    body_sgn: float
+    finger_idx: int
+    fin_sgn: float
+    link: int
+    arm_sgn: float
+    couple: float
+    ee_sgn: float
 
 
-def _box_plane_lanes(bp, bq, half, plane_z, mu):
+def _mk_lane(pt, nrm, pen, active, mu, body_sgn=0.0, finger_idx=-1,
+             fin_sgn=0.0, link=-1, arm_sgn=0.0, couple=0.0, ee_sgn=0.0):
+    return _Lane(pt, nrm, pen, active, mu, body_sgn, finger_idx, fin_sgn,
+                 link, arm_sgn, couple, ee_sgn)
+
+
+def _box_plane_lanes(bp, bq, half, plane_z, mu, **meta):
+    """4-lane box vs plane: bottom-face incident corners
+    (contact.py:box_plane)."""
     R = qmat(bq)
     lanes = []
-    for s in _CORNER_SIGNS:
-        loc = _cv([s[0] * half[0], s[1] * half[1], s[2] * half[2]])
-        corner = bp + mat3vec(R, loc)
+    for corner in incident_corner_tiles(bp, R, half, _cv([0.0, 0.0, -1.0])):
         pen = _c(plane_z) - corner[2]
-        lanes.append(_Lane(pt=corner, nrm=_cv([0.0, 0.0, 1.0]), pen=pen,
-                           active=(pen > -1e-4).astype(F32), mu=mu,
-                           is_finger=-1))
+        lanes.append(_mk_lane(corner, _cv([0.0, 0.0, 1.0]), pen,
+                              (pen > -1e-4).astype(F32), mu, **meta))
     return lanes
 
 
-def _cyl_plane_lanes(bp, bq, radius, half_len, plane_z, mu):
+def _cyl_plane_lanes(bp, bq, radius, half_len, plane_z, mu, **meta):
     lanes = []
     for k in range(4):
         ang = 2.0 * np.pi * k / 4
         loc = _cv([radius * np.cos(ang), radius * np.sin(ang), -half_len])
         pt = bp + qrotate(bq, loc)
         pen = _c(plane_z) - pt[2]
-        lanes.append(_Lane(pt=pt, nrm=_cv([0.0, 0.0, 1.0]), pen=pen,
-                           active=(pen > -1e-4).astype(F32), mu=mu,
-                           is_finger=-1))
+        lanes.append(_mk_lane(pt, _cv([0.0, 0.0, 1.0]), pen,
+                              (pen > -1e-4).astype(F32), mu, **meta))
     return lanes
 
 
@@ -185,9 +231,9 @@ def _cyl_plane_lanes(bp, bq, radius, half_len, plane_z, mu):
 def sat_face_normal(ca, Ra, ha, cb, Rb, hb):
     """Minimum-penetration face axis over the 6 face axes of two OBBs.
 
-    Returns (n pointing B->A, sat_ok mask, ra_n, rb_n) where r*_n are the
-    boxes' projected half-extents along n. Axes are the COLUMN vectors of R
-    (world direction of each local axis) = R[:, k]."""
+    Returns (n pointing B->A, sat_ok mask, ra_n, rb_n, min_overlap) where
+    r*_n are the boxes' projected half-extents along n. Axes are the COLUMN
+    vectors of R (world direction of each local axis) = R[:, k]."""
     axes = [Ra[:, k] for k in range(3)] + [Rb[:, k] for k in range(3)]
     t = ca - cb
 
@@ -208,7 +254,7 @@ def sat_face_normal(ca, Ra, ha, cb, Rb, hb):
             best_axis = jnp.where(better[None], L * signed[None], best_axis)
             best_overlap = jnp.where(better, overlap, best_overlap)
     n = best_axis
-    return n, sat_ok, proj(Ra, ha, n), proj(Rb, hb, n)
+    return n, sat_ok, proj(Ra, ha, n), proj(Rb, hb, n), best_overlap
 
 
 def box_corner_tiles(c, R, h):
@@ -220,6 +266,23 @@ def box_corner_tiles(c, R, h):
     return out
 
 
+def incident_corner_tiles(c, R, h, d):
+    """The 4 corners of the box face most facing direction d: tile port of
+    contact.py:incident_face_corners. Returns a list of 4 (3,8,128) tiles."""
+    dots = [vdot(d, R[:, k]) for k in range(3)]
+    ad = [jnp.abs(x) for x in dots]
+    m0 = ((ad[0] >= ad[1]) & (ad[0] >= ad[2])).astype(F32)
+    m1 = (1.0 - m0) * (ad[1] >= ad[2]).astype(F32)
+    m2 = 1.0 - m0 - m1
+    m = [m0, m1, m2]
+    sgn = [jnp.where(dots[k] >= 0, 1.0, -1.0) for k in range(3)]
+    f = sum(m[k][None] * sgn[k][None] * h[k] * R[:, k] for k in range(3))
+    u = sum(m[k][None] * h[(k + 1) % 3] * R[:, (k + 1) % 3] for k in range(3))
+    v = sum(m[k][None] * h[(k + 2) % 3] * R[:, (k + 2) % 3] for k in range(3))
+    base = c + f
+    return [base - u - v, base - u + v, base + u - v, base + u + v]
+
+
 def point_in_box_tiles(p, c, R, h):
     """0/1 mask of points inside an OBB (with the contact margin)."""
     rel = p - c
@@ -229,61 +292,128 @@ def point_in_box_tiles(p, c, R, h):
             * (h[2] - jnp.abs(pl_[2]) > -1e-4).astype(F32))
 
 
-def _sat_box_box_lanes(ca, Ra, ha, cb, Rb, hb, mu, finger_idx):
-    """SAT box-box manifold, port of ops/contact.py:box_box onto tiles.
+def clamp_into_box_tiles(p, c, R, h):
+    """Closest point of an OBB to p (world): c + R clip(R^T(p-c), +-h)."""
+    rel = p - c
+    loc = jnp.stack([jnp.clip(vdot(R[:, i], rel), -h[i], h[i])
+                     for i in range(3)])
+    return c + mat3vec(R, loc)
 
-    A = free body, B = finger `finger_idx`. 16 lanes."""
-    n, sat_ok, ra_n, rb_n = sat_face_normal(ca, Ra, ha, cb, Rb, hb)
+
+def sat_box_box_lanes(ca, Ra, ha, cb, Rb, hb, mu, **meta):
+    """9-lane SAT box-box manifold, port of ops/contact.py:box_box onto
+    tiles: 4 incident-face corners of A in B, 4 of B in A, 1 cross-piercing
+    fallback."""
+    n, sat_ok, ra_n, rb_n, min_overlap = sat_face_normal(ca, Ra, ha,
+                                                         cb, Rb, hb)
     lanes = []
-    for p in box_corner_tiles(ca, Ra, ha):    # A corners past B's +n face
+    inside_any = None
+    for p in incident_corner_tiles(ca, Ra, ha, -n):   # A corners toward B
         pen = rb_n - vdot(n, p - cb)
-        lanes.append(_Lane(pt=p, nrm=n, pen=pen,
-                           active=point_in_box_tiles(p, cb, Rb, hb) * sat_ok,
-                           mu=mu, is_finger=finger_idx))
-    for p in box_corner_tiles(cb, Rb, hb):    # B corners past A's -n face
+        inside = point_in_box_tiles(p, cb, Rb, hb)
+        inside_any = inside if inside_any is None \
+            else jnp.maximum(inside_any, inside)
+        lanes.append(_mk_lane(p, n, pen, inside * sat_ok, mu, **meta))
+    for p in incident_corner_tiles(cb, Rb, hb, n):    # B corners toward A
         pen = vdot(n, p - ca) + ra_n
-        lanes.append(_Lane(pt=p, nrm=n, pen=pen,
-                           active=point_in_box_tiles(p, ca, Ra, ha) * sat_ok,
-                           mu=mu, is_finger=finger_idx))
+        inside = point_in_box_tiles(p, ca, Ra, ha)
+        inside_any = jnp.maximum(inside_any, inside)
+        lanes.append(_mk_lane(p, n, pen, inside * sat_ok, mu, **meta))
+    # cross-piercing fallback (contact.py:box_box): SAT overlap but no
+    # corner of either box inside the other
+    p_cross = 0.5 * (clamp_into_box_tiles(ca, cb, Rb, hb)
+                     + clamp_into_box_tiles(cb, ca, Ra, ha))
+    act_cross = sat_ok * (1.0 - inside_any)
+    lanes.append(_mk_lane(p_cross, n, min_overlap, act_cross, mu, **meta))
     return lanes
 
 
-def _box_cyl_lanes(cb, Rb, hb, cc, radius, half_len, mu, finger_idx):
-    """Finger box (B) vs upright cylinder (A): 2 lanes
+def sphere_plane_lane(c, radius, plane_z, mu, **meta):
+    """Sphere vs support plane: 1 lane (contact.py:sphere_plane)."""
+    pen = _c(plane_z + radius) - c[2]
+    p = c - _cv([0.0, 0.0, 1.0]) * radius
+    return [_mk_lane(p, _cv([0.0, 0.0, 1.0]), pen,
+                     (pen > -1e-4).astype(F32), mu, **meta)]
+
+
+def sphere_box_lane(c, radius, cb, Rb, hb, mu, **meta):
+    """Sphere (A) vs box (B): 1 lane (contact.py:sphere_box). Normal pushes
+    the sphere out of the box."""
+    rel = c - cb
+    cl = jnp.stack([vdot(Rb[:, i], rel) for i in range(3)])
+    clamped = jnp.stack([jnp.clip(cl[i], -hb[i], hb[i]) for i in range(3)])
+    delta = cl - clamped
+    d = jnp.sqrt(jnp.maximum(vdot(delta, delta), 1e-18))
+    outside = (jnp.sum(delta * delta, 0) > 1e-18).astype(F32)
+    n_out = delta / d[None]
+    e0, e1, e2 = hb[0] - jnp.abs(cl[0]), hb[1] - jnp.abs(cl[1]), \
+        hb[2] - jnp.abs(cl[2])
+    emin = jnp.minimum(e0, jnp.minimum(e1, e2))
+    is0 = ((e0 <= e1) & (e0 <= e2)).astype(F32)
+    is1 = (1.0 - is0) * ((e1 <= e2).astype(F32))
+    is2 = 1.0 - is0 - is1
+    sgn = [jnp.where(cl[i] >= 0, 1.0, -1.0) for i in range(3)]
+    n_in = jnp.stack([is0 * sgn[0], is1 * sgn[1], is2 * sgn[2]])
+    n_local = n_out * outside[None] + n_in * (1.0 - outside[None])
+    pen = (radius - d) * outside + (radius + emin) * (1.0 - outside)
+    n = mat3vec(Rb, n_local)
+    p = c - n * radius
+    return [_mk_lane(p, n, pen, (pen > -1e-4).astype(F32), mu, **meta)]
+
+
+def box_cyl_lanes(cb, Rb, hb, cc, radius, half_len, mu, **meta):
+    """Box (B side) vs upright cylinder (A side): 2 lanes
     (port of ops/contact.py:box_cylinder_upright)."""
     rel = cc - cb
     c_local = jnp.stack([vdot(Rb[:, i], rel) for i in range(3)])
     clamped = jnp.stack([jnp.clip(c_local[i], -hb[i], hb[i]) for i in range(3)])
     delta = c_local - clamped
     d_xy = jnp.sqrt(delta[0] ** 2 + delta[1] ** 2)
-    lat_pen = _c(radius) - d_xy
-    inv = jnp.where(d_xy > 1e-6, 1.0 / jnp.maximum(d_xy, 1e-6), 0.0)
-    nx = jnp.where(d_xy > 1e-6, delta[0] * inv, 1.0)
-    ny = jnp.where(d_xy > 1e-6, delta[1] * inv, 0.0)
+    outside = (d_xy > 1e-6).astype(F32)
+    # axis-inside-box fallback: nearest exit face in XY, with the extra
+    # exit depth added to the penetration (contact.py:box_cylinder_upright)
+    e0 = hb[0] - jnp.abs(c_local[0])
+    e1 = hb[1] - jnp.abs(c_local[1])
+    is0 = (e0 <= e1).astype(F32)
+    sgn0 = jnp.where(c_local[0] >= 0, 1.0, -1.0)
+    sgn1 = jnp.where(c_local[1] >= 0, 1.0, -1.0)
+    emin = jnp.minimum(e0, e1)
+    lat_pen = (_c(radius) - d_xy) * outside \
+        + (_c(radius) + emin) * (1.0 - outside)
+    inv = 1.0 / jnp.maximum(d_xy, 1e-6)
+    nx = delta[0] * inv * outside + is0 * sgn0 * (1.0 - outside)
+    ny = delta[1] * inv * outside + (1.0 - is0) * sgn1 * (1.0 - outside)
     n_loc = jnp.stack([nx, ny, jnp.zeros_like(nx)])
     n_lat = mat3vec(Rb, n_loc)
-    lat_act = ((lat_pen > -1e-4)
-               & (jnp.abs(c_local[2]) < hb[2] + half_len)).astype(F32)
     p_lat = cc - n_lat * radius
     vert_pen = _c(hb[2] + half_len) - jnp.abs(c_local[2])
     in_xy = ((jnp.abs(c_local[0]) < hb[0] + radius)
              & (jnp.abs(c_local[1]) < hb[1] + radius)).astype(F32)
-    vert_act = (vert_pen > -1e-4).astype(F32) * in_xy
+    # exclusive candidates keyed on the SAT minimum direction
+    # (contact.py:box_cylinder_upright side_is_min)
+    side_is_min = (lat_pen <= vert_pen).astype(F32)
+    lat_act = ((lat_pen > -1e-4)
+               & (jnp.abs(c_local[2]) < hb[2] + half_len)).astype(F32) \
+        * side_is_min
+    vert_act = (vert_pen > -1e-4).astype(F32) * in_xy * (1.0 - side_is_min)
     sz = jnp.where(c_local[2] >= 0, 1.0, -1.0)
     n_vert = mat3vec(Rb, jnp.stack([jnp.zeros_like(sz),
                                       jnp.zeros_like(sz), sz]))
     p_vert = cc - n_vert * half_len
     return [
-        _Lane(pt=p_lat, nrm=n_lat, pen=lat_pen, active=lat_act, mu=mu,
-              is_finger=finger_idx),
-        _Lane(pt=p_vert, nrm=n_vert, pen=vert_pen, active=vert_act, mu=mu,
-              is_finger=finger_idx),
+        _mk_lane(p_lat, n_lat, lat_pen, lat_act, mu, **meta),
+        _mk_lane(p_vert, n_vert, vert_pen, vert_act, mu, **meta),
     ]
+
+
+# legacy aliases used by pallas_multibody (pre-port); the meta kwargs default
+# to "no coupling" so the geometry output is unchanged
+_box_cyl_lanes = box_cyl_lanes
 
 
 # ------------------------------------------------------------------ the kernel
 def _build_kernel(spec: S.SceneSpec, solver_iters: int, erp: float,
-                  slop: float, n_substeps: int):
+                  slop: float, n_substeps: int, arm_collision: bool):
     assert spec.n_bodies == 1 and spec.ns_static == 0 and spec.door is None, \
         'pallas engine v1 supports single-free-body scenes only'
     a = spec.np_arrays()
@@ -302,27 +432,31 @@ def _build_kernel(spec: S.SceneSpec, solver_iters: int, erp: float,
     jl_lo = np.asarray(KM.JOINT_LIMIT_LOWER, np.float32)
     jl_hi = np.asarray(KM.JOINT_LIMIT_UPPER, np.float32)
     arm_inertia = np.asarray(KM.ARM_EFFECTIVE_INERTIA, np.float32)
+    inv_arm_inertia = (1.0 / arm_inertia).astype(np.float32)
+    sph_radii = np.asarray(KM.ARM_SPHERE_RADIUS, np.float32)
+    sph_links = np.asarray(KM.ARM_SPHERE_LINK, np.int32)
 
     def substep(carry, qt_rows, ft_rows):
-        (q, qd, fq, fqd, bp, bq, bv, bw, prev_f0, prev_f1) = carry
+        """One velocity-level 2 ms substep — mirrors dynamics.Engine.substep:
+        servos + gravity propose velocities, contacts generated at the
+        CURRENT coordinates correct them (with frozen-arm joint coupling),
+        then all coordinates integrate together."""
+        (q, qd, fq, fqd, bp, bq, bv, bw) = carry
 
-        # 1. arm servo
-        new_q, new_qd = [], []
+        # 1. arm servo -> proposed qd (q integrates after the solve)
+        new_qd = []
         for j in range(7):
             err = qt_rows[j] - q[j]
             v_des = jnp.clip(D.ARM_SERVO_RATE * err, -D.ARM_VEL_LIMIT,
                              D.ARM_VEL_LIMIT)
             dv = KM.ARM_PD_FORCE * dt / arm_inertia[j]
-            qdj = qd[j] + jnp.clip(v_des - qd[j], -dv, dv)
-            qj = jnp.clip(q[j] + qdj * dt, jl_lo[j], jl_hi[j])
-            new_q.append(qj)
-            new_qd.append(qdj)
-        q = jnp.stack(new_q)
+            new_qd.append(qd[j] + jnp.clip(v_des - qd[j], -dv, dv))
         qd = jnp.stack(new_qd)
 
-        # 2. FK + finger kinematic velocity
-        r7, fpos, faxis = fk_fingers(q, fq)
-        fkin = [(fpos[0] - prev_f0) / dt, (fpos[1] - prev_f1) / dt]
+        # 2. FK at the current configuration
+        ch = fk_chain(q, fq)
+        fpos, faxis = ch['fpos'], ch['faxis']
+        Rb7 = qmat(ch['r7'])
 
         # 3. finger servo
         new_fqd = []
@@ -337,24 +471,46 @@ def _build_kernel(spec: S.SceneSpec, solver_iters: int, erp: float,
         # 4. gravity (no .at[] — scatter is unsupported in Mosaic)
         bv = jnp.stack([bv[0], bv[1], bv[2] - D.GRAVITY * dt])
 
-        # 5. contacts
+        # 5. contacts (lane order mirrors dynamics._build_contact_plan)
         Ra = qmat(bq)
-        Rb = qmat(r7)
+        lanes = []
         if geom_type == S.BOX:
-            lanes = _box_plane_lanes(bp, bq, half, spec.plane_z, plane_mu)
+            lanes += _box_plane_lanes(bp, bq, half, spec.plane_z, plane_mu,
+                                      body_sgn=1.0)
             for f in range(2):
-                lanes += _sat_box_box_lanes(bp, Ra, half, fpos[f], Rb, fhalf,
-                                            finger_mu, f)
+                lanes += sat_box_box_lanes(
+                    bp, Ra, half, fpos[f], Rb7, fhalf, finger_mu,
+                    body_sgn=1.0, finger_idx=f, fin_sgn=-1.0, link=6,
+                    arm_sgn=-1.0, ee_sgn=-1.0)
         else:
-            lanes = _cyl_plane_lanes(bp, bq, half[0], half[2], spec.plane_z,
-                                     plane_mu)
+            lanes += _cyl_plane_lanes(bp, bq, half[0], half[2], spec.plane_z,
+                                      plane_mu, body_sgn=1.0)
             for f in range(2):
-                lanes += _box_cyl_lanes(fpos[f], Rb, fhalf, bp, half[0],
-                                        half[2], finger_mu, f)
+                lanes += box_cyl_lanes(
+                    fpos[f], Rb7, fhalf, bp, half[0], half[2], finger_mu,
+                    body_sgn=1.0, finger_idx=f, fin_sgn=-1.0, link=6,
+                    arm_sgn=-1.0, ee_sgn=-1.0)
+        if arm_collision:
+            for f in range(2):
+                lanes += _box_plane_lanes(
+                    fpos[f], ch['r7'], fhalf, spec.plane_z,
+                    1.0 * spec.plane_friction, finger_idx=f, fin_sgn=1.0,
+                    link=6, arm_sgn=1.0, couple=1.0, ee_sgn=1.0)
+            for sp in range(len(sph_radii)):
+                link = int(sph_links[sp])
+                ee = 1.0 if link == 6 else 0.0
+                lanes += sphere_plane_lane(
+                    ch['spheres'][sp], float(sph_radii[sp]), spec.plane_z,
+                    0.5 * spec.plane_friction, link=link, arm_sgn=1.0,
+                    couple=1.0, ee_sgn=ee)
+                lanes += sphere_box_lane(
+                    ch['spheres'][sp], float(sph_radii[sp]), bp, Ra,
+                    half, 0.5 * fric, body_sgn=-1.0, link=link,
+                    arm_sgn=1.0, couple=1.0, ee_sgn=ee)
 
-        # stack lanes: (L,...). Lane constants (mu, finger masks) must be
-        # built from SCALAR literals — pallas kernels may not capture
-        # materialised numpy/jnp constant arrays.
+        # stack lanes: (L,...). Lane constants (mu, masks) must be built
+        # from SCALAR literals — pallas kernels may not capture materialised
+        # numpy/jnp constant arrays.
         L = len(lanes)
         pts = jnp.stack([l.pt for l in lanes])          # (L,3,8,128)
         nrm = jnp.stack([l.nrm for l in lanes])
@@ -368,14 +524,22 @@ def _build_kernel(spec: S.SceneSpec, solver_iters: int, erp: float,
             return jnp.stack([jnp.full(shape, float(v), F32) for v in vals])
 
         mu = lane_const([l.mu for l in lanes])
-        fin_id = [l.is_finger for l in lanes]
+        body_sgn = lane_const([l.body_sgn for l in lanes])
+        body_sgn_v = lane_const([l.body_sgn for l in lanes], extra_dim=True)
+        body_in = lane_const([abs(l.body_sgn) for l in lanes])
+        fin_id = [l.finger_idx for l in lanes]
         is_fin = [lane_const([1.0 if fi == f else 0.0 for fi in fin_id])
                   for f in range(2)]
         is_fin_v = [lane_const([1.0 if fi == f else 0.0 for fi in fin_id],
                                extra_dim=True) for f in range(2)]
-        any_fin = lane_const([1.0 if fi >= 0 else 0.0 for fi in fin_id])
-        any_fin_v = lane_const([1.0 if fi >= 0 else 0.0 for fi in fin_id],
-                               extra_dim=True)
+        fin_sgn = lane_const([l.fin_sgn for l in lanes])
+        fin_sgn_v = lane_const([l.fin_sgn for l in lanes], extra_dim=True)
+        arm_sgn_v = lane_const([l.arm_sgn for l in lanes], extra_dim=True)
+        cpl = lane_const([l.couple for l in lanes])
+        cpl_v = lane_const([l.couple for l in lanes], extra_dim=True)
+        jmask = [lane_const([1.0 if l.link >= j else 0.0 for l in lanes],
+                            extra_dim=True) for j in range(7)]
+        ee_sgn_v = lane_const([l.ee_sgn for l in lanes], extra_dim=True)
 
         # 6. solve (fused Jacobi, mass splitting — mirrors dynamics._solve)
         # inv_I_w[i,k] = sum_j Ra[i,j] * invI_j * Ra[k,j] (python-scalar invI)
@@ -401,15 +565,46 @@ def _build_kernel(spec: S.SceneSpec, solver_iters: int, erp: float,
                         nrm[:, 2] * t1[:, 0] - nrm[:, 0] * t1[:, 2],
                         nrm[:, 0] * t1[:, 1] - nrm[:, 1] * t1[:, 0]], 1)
 
-        body_count = jnp.maximum(jnp.sum(act, 0), 1.0)
+        body_count = jnp.maximum(jnp.sum(act * body_in, 0), 1.0)
         fin_count = [jnp.maximum(jnp.sum(act * is_fin[f], 0), 1.0)
                      for f in range(2)]
+        arm_count = jnp.maximum(jnp.sum(act * cpl, 0), 1.0)
 
         faxis_l = jnp.stack([faxis[0], faxis[1]])        # (2,3,8,128)
         lane_axis = (faxis_l[0][None] * is_fin_v[0]
                      + faxis_l[1][None] * is_fin_v[1])   # (L,3,8,128)
         lane_fin_count = (fin_count[0][None] * is_fin[0]
-                          + fin_count[1][None] * is_fin[1] + (1.0 - any_fin))
+                          + fin_count[1][None] * is_fin[1]
+                          + (1.0 - is_fin[0] - is_fin[1]))
+
+        # arm point Jacobians per lane: J_j(p) = z_j x (p - o_j), masked to
+        # joints <= link (dynamics._solve arm_jac). J_j . d is computed as
+        # z_j . ((p - o_j) x d) to avoid storing (L,7,3) tiles.
+        def lane_cross(u, v):
+            return jnp.stack([u[:, 1] * v[:, 2] - u[:, 2] * v[:, 1],
+                              u[:, 2] * v[:, 0] - u[:, 0] * v[:, 2],
+                              u[:, 0] * v[:, 1] - u[:, 1] * v[:, 0]], 1)
+
+        if arm_collision or True:
+            # frozen arm point velocity per lane (constant through the
+            # iterations): v_arm(p) = sum_j qd_j * (z_j x (p - o_j)) masked
+            v_arm = 0.0
+            for j in range(7):
+                zx = lane_cross(
+                    jnp.broadcast_to(ch['z'][j][None], pts.shape),
+                    pts - ch['o'][j][None])
+                v_arm = v_arm + zx * qd[j][None, None] * jmask[j]
+
+            def k_arm(d):
+                k = 0.0
+                for j in range(7):
+                    # J_j . d = z_j . ((p - o_j) x d)
+                    pd = lane_cross(pts - ch['o'][j][None], d)
+                    jd = jnp.sum(pd * ch['z'][j][None], 1)
+                    k = k + jd * jd * float(inv_arm_inertia[j]) \
+                        * jmask[j][:, 0]
+                # only couple=1 lanes let the arm yield (dynamics.k_arm)
+                return k * cpl * arm_count[None]
 
         def k_dir(d):
             rxd = jnp.stack([r_a[:, 1] * d[:, 2] - r_a[:, 2] * d[:, 1],
@@ -418,29 +613,34 @@ def _build_kernel(spec: S.SceneSpec, solver_iters: int, erp: float,
             Iw_rxd = jnp.stack(
                 [sum(inv_I_w[i, j] * rxd[:, j] for j in range(3))
                  for i in range(3)], axis=1)
-            k_body = (inv_mass + jnp.sum(rxd * Iw_rxd, 1)) * body_count[None]
+            k_body = ((inv_mass + jnp.sum(rxd * Iw_rxd, 1)) * body_count[None]
+                      * body_in)
             da = jnp.sum(d * lane_axis, 1)
-            k_fin = (da * da / finger_mass) * lane_fin_count * any_fin
-            return k_body + k_fin
+            k_fin = (da * da / finger_mass) * lane_fin_count \
+                * (is_fin[0] + is_fin[1])
+            return k_body + k_fin + k_arm(d)
 
-        kn = jnp.maximum(k_dir(nrm), 1e-8)
+        kn_raw = k_dir(nrm)
+        solvable = act * (kn_raw > 1e-8).astype(F32)
+        kn = jnp.maximum(kn_raw, 1e-8)
         kt1 = jnp.maximum(k_dir(t1), 1e-8)
         kt2 = jnp.maximum(k_dir(t2), 1e-8)
-        solvable = act
-        bias = -(erp / dt) * jnp.maximum(pen - slop, 0.0)
+        # capped recovery velocity (dynamics._solve BIAS_CAP)
+        bias = -jnp.minimum((erp / dt) * jnp.maximum(pen - slop, 0.0),
+                            D.BIAS_CAP)
 
         def point_vel(bv_, bw_, fqd_):
             v_body = bv_[None] + jnp.stack(
                 [bw_[1][None] * r_a[:, 2] - bw_[2][None] * r_a[:, 1],
                  bw_[2][None] * r_a[:, 0] - bw_[0][None] * r_a[:, 2],
                  bw_[0][None] * r_a[:, 1] - bw_[1][None] * r_a[:, 0]], 1)
-            fkin_l = jnp.stack([fkin[0], fkin[1]])
-            v_fin = ((fkin_l[0] + faxis_l[0] * fqd_[0][None])[None]
-                     * is_fin_v[0]
-                     + (fkin_l[1] + faxis_l[1] * fqd_[1][None])[None]
-                     * is_fin_v[1])
-            # body velocity at the point minus the other side's velocity
-            return v_body - v_fin
+            v_fin_dof = (faxis_l[0][None] * fqd_[0][None, None] * is_fin_v[0]
+                         + faxis_l[1][None] * fqd_[1][None, None]
+                         * is_fin_v[1])
+            # signed relative velocity va - vb per lane:
+            #   body side * body_sgn + (arm point + finger DOF) * their signs
+            return (v_body * body_sgn_v + v_arm * arm_sgn_v
+                    + v_fin_dof * fin_sgn_v)
 
         def iteration(_, scarry):
             bv_, bw_, fqd_, ln, lt1, lt2 = scarry
@@ -459,17 +659,19 @@ def _build_kernel(spec: S.SceneSpec, solver_iters: int, erp: float,
             nlt2 = jnp.clip(lt2 + dlt2, -lim, lim)
             dlt2 = nlt2 - lt2
             imp = nrm * dln[:, None] + t1 * dlt1[:, None] + t2 * dlt2[:, None]
-            # apply to body (side A, +imp)
-            bv_ = bv_ + jnp.sum(imp, 0) * inv_mass
-            ang = jnp.stack([r_a[:, 1] * imp[:, 2] - r_a[:, 2] * imp[:, 1],
-                             r_a[:, 2] * imp[:, 0] - r_a[:, 0] * imp[:, 2],
-                             r_a[:, 0] * imp[:, 1] - r_a[:, 1] * imp[:, 0]], 1)
+            # apply to the body (signed by side)
+            imp_b = imp * body_sgn_v
+            bv_ = bv_ + jnp.sum(imp_b, 0) * inv_mass
+            ang = jnp.stack(
+                [r_a[:, 1] * imp_b[:, 2] - r_a[:, 2] * imp_b[:, 1],
+                 r_a[:, 2] * imp_b[:, 0] - r_a[:, 0] * imp_b[:, 2],
+                 r_a[:, 0] * imp_b[:, 1] - r_a[:, 1] * imp_b[:, 0]], 1)
             bw_ = bw_ + mat3vec(inv_I_w, jnp.sum(ang, 0))
-            # apply to fingers (side B, -imp along finger axis)
-            dfq = jnp.sum(imp * lane_axis, 1) / finger_mass
+            # apply to the finger DOFs (signed by side)
+            dfq = jnp.sum(imp * lane_axis, 1) * fin_sgn / finger_mass
             fqd_ = jnp.stack([
-                fqd_[0] - jnp.sum(dfq * is_fin[0], 0),
-                fqd_[1] - jnp.sum(dfq * is_fin[1], 0)])
+                fqd_[0] + jnp.sum(dfq * is_fin[0], 0),
+                fqd_[1] + jnp.sum(dfq * is_fin[1], 0)])
             return bv_, bw_, fqd_, nln, nlt1, nlt2
 
         zeros_l = jnp.zeros_like(pen)
@@ -477,12 +679,28 @@ def _build_kernel(spec: S.SceneSpec, solver_iters: int, erp: float,
             0, solver_iters, iteration,
             (bv, bw, fqd, zeros_l, zeros_l, zeros_l))
 
-        # EE force sensor: total impulse applied onto the fingers / dt
         tot_imp = (nrm * ln[:, None] + t1 * lt1[:, None] + t2 * lt2[:, None])
-        fin_imp = -jnp.sum(tot_imp * any_fin_v, 0)
+
+        # arm coupling: accumulated impulses -> joint velocities, applied
+        # once after the loop (frozen-arm scheme, dynamics._solve)
+        imp_arm = tot_imp * arm_sgn_v * cpl_v
+        new_qd = []
+        for j in range(7):
+            pd = lane_cross(pts - ch['o'][j][None], imp_arm)
+            jd = jnp.sum(jnp.sum(pd * ch['z'][j][None], 1) * jmask[j][:, 0], 0)
+            new_qd.append(qd[j] + jd * float(inv_arm_inertia[j]))
+        qd = jnp.stack(new_qd)
+
+        # EE force sensor: impulse applied onto the gripper
+        # (fingers + palm/link-7 spheres) / dt
+        fin_imp = jnp.sum(tot_imp * ee_sgn_v, 0)
         ee_force = fin_imp / dt
 
-        # 7. integrate
+        # 7. integrate everything with the corrected velocities
+        new_q = []
+        for j in range(7):
+            new_q.append(jnp.clip(q[j] + qd[j] * dt, jl_lo[j], jl_hi[j]))
+        q = jnp.stack(new_q)
         bp = bp + bv_ * dt
         w_norm = jnp.sqrt(jnp.maximum(jnp.sum(bw_ * bw_, 0), 1e-18))
         half_ang = w_norm * dt * 0.5
@@ -491,7 +709,7 @@ def _build_kernel(spec: S.SceneSpec, solver_iters: int, erp: float,
         bq = qnormalize(qmul(dq_rot, bq))
         fq = jnp.clip(fq + fqd_ * dt, -KM.FINGER_LIMIT, KM.FINGER_LIMIT)
 
-        return (q, qd, fq, fqd_, bp, bq, bv_, bw_, fpos[0], fpos[1]), ee_force
+        return (q, qd, fq, fqd_, bp, bq, bv_, bw_), ee_force
 
     def kernel(state_ref, ctrl_ref, out_ref):
         s = state_ref[:]
@@ -500,16 +718,15 @@ def _build_kernel(spec: S.SceneSpec, solver_iters: int, erp: float,
         ft = ctl[_CFT]
         q, qd, fq, fqd = s[_Q], s[_QD], s[_FQ], s[_FQD]
         bp, bq, bv, bw = s[_BP], s[_BQ], s[_BV], s[_BW]
-        _, fpos0, _ = fk_fingers(q, fq)
 
         def body(i, carry):
             new_carry, ee = substep(carry[0], qt, ft)
             return (new_carry, ee)
 
-        carry = ((q, qd, fq, fqd, bp, bq, bv, bw, fpos0[0], fpos0[1]),
+        carry = ((q, qd, fq, fqd, bp, bq, bv, bw),
                  jnp.zeros((3, SUB, LANE), F32))
         carry = jax.lax.fori_loop(0, n_substeps, body, carry)
-        (q, qd, fq, fqd, bp, bq, bv, bw, _, _), ee = carry
+        (q, qd, fq, fqd, bp, bq, bv, bw), ee = carry
         out_ref[:] = jnp.concatenate([q, qd, fq, fqd, bp, bq, bv, bw, ee])
 
     return kernel
@@ -524,11 +741,12 @@ class PallasEngine:
 
     def __init__(self, spec: S.SceneSpec, solver_iters: int = 8,
                  erp: float = 0.2, slop: float = 5e-4,
-                 interpret: bool = None):
+                 interpret: bool = None, arm_collision: bool = True):
         self.spec = spec
         self.solver_iters = solver_iters
         self.erp = erp
         self.slop = slop
+        self.arm_collision = arm_collision
         if interpret is None:
             interpret = jax.default_backend() != 'tpu'
         self.interpret = interpret
@@ -537,7 +755,8 @@ class PallasEngine:
     def _get_kernel(self, n_substeps):
         if n_substeps not in self._kernels:
             self._kernels[n_substeps] = _build_kernel(
-                self.spec, self.solver_iters, self.erp, self.slop, n_substeps)
+                self.spec, self.solver_iters, self.erp, self.slop, n_substeps,
+                self.arm_collision)
         return self._kernels[n_substeps]
 
     def control_step(self, state: D.PhysicsState, controls: D.Controls,
@@ -573,6 +792,10 @@ class PallasEngine:
             out_specs=pl.BlockSpec((N_ROWS, SUB, LANE), lambda i: (0, i, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((N_ROWS, G * SUB, LANE), F32),
+            # arm-collision lanes push peak VMEM slightly past the 16 MB
+            # default scoped limit
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024),
             interpret=self.interpret,
         )(sin, cin)
 

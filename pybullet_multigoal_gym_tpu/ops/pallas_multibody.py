@@ -2,23 +2,29 @@
 
 Extends the single-free-body kernel (ops/pallas_engine.py) to the full scene
 vocabulary of the suite: N free bodies (multi-geom), static boxes, the
-1-DoF chest door, and the two fingers — the whole 100-substep control step
-still fused into ONE kernel over (8,128) env tiles.
+1-DoF chest door, the two fingers AND the arm collision-sphere chain — the
+whole 100-substep control step still fused into ONE kernel over (8,128) env
+tiles.
 
 Contact manifold policy (VMEM is the binding constraint — every live lane
-array costs ~4 KB per (8,128) tile regardless of batch size):
-  * finger vs free geom          16 lanes (two-sided SAT — grasp quality)
-  * free geom vs free geom       16 lanes (two-sided SAT)
-  * free geom vs static/pinned/door  8 lanes (one-sided: free-geom corners,
-    SAT face normal — the free body is the smaller object in this suite)
-  * finger vs door               16 lanes (door-handle pushing quality)
-  * geom vs support plane        8 (box) / 4 (cylinder)
+array costs ~4 KB per (8,128) tile regardless of batch size). All box-box
+manifolds use INCIDENT-FACE corners (the 4 corners of the face toward the
+opponent, contact.py:incident_face_corners) instead of all 8:
+  * finger vs free geom          9 lanes (two-sided SAT + cross fallback)
+  * free geom vs free geom       9 lanes
+  * free geom vs static/pinned/door  5 lanes (one-sided: free-geom incident
+    corners + cross fallback)
+  * finger vs door               9 lanes (door-handle pushing quality)
+  * finger vs static             5 lanes, finger vs plane 4
+  * geom vs support plane        4 (box bottom face) / 4 (cylinder rim)
+  * arm sphere vs plane/geom/static/door  1 lane each
 Scenes whose lane count exceeds LANE_BUDGET fall back to the XLA engine
 (vec_env checks `supports_scene`).
 
-Semantics mirror ops/dynamics.py (same servo constants, Baumgarte bias,
-mass-splitting fused Jacobi solver, friction clamp); parity is asserted in
-tests/test_pallas_multibody.py.
+Semantics mirror ops/dynamics.py (velocity-level substep, same servo
+constants, Baumgarte bias, mass-splitting fused Jacobi solver, friction
+clamp, frozen-arm joint coupling of all gripper/arm contacts); parity is
+asserted in tests/test_pallas_multibody.py.
 """
 
 from typing import NamedTuple
@@ -33,21 +39,20 @@ from pybullet_multigoal_gym_tpu.model import kuka_model as KM
 from pybullet_multigoal_gym_tpu.ops import dynamics as D
 from pybullet_multigoal_gym_tpu.ops import scene as S
 from pybullet_multigoal_gym_tpu.ops.pallas_engine import (
-    F32, LANE, SUB, TILE, _c, _cq, _cv, box_corner_tiles, fk_fingers,
-    mat3vec, point_in_box_tiles, qmat, qmul, qnormalize, qrotate,
-    sat_face_normal, vcross, vdot, _CORNER_SIGNS)
+    F32, LANE, SUB, TILE, _c, _cq, _cv, box_cyl_lanes, fk_chain,
+    incident_corner_tiles, clamp_into_box_tiles, mat3vec,
+    point_in_box_tiles, qmat, qmul, qnormalize, qrotate, sat_face_normal,
+    vcross, vdot)
 
 # Lane ceiling with the segment-sliced solver and the raised scoped-VMEM
-# limit (CompilerParams below; the 16 MB default rejected >~240 lanes).
-# v5e throughput by lane count: <=480 lanes runs at full speed (block nb=5
-# -> 52k steps/s, chest nb=4 -> 42k); chest nb=5 spills to HBM and drops to
-# ~0.5k — still at least XLA-fallback speed, so every reference
-# configuration stays on the kernel.
+# limit. v5e throughput by lane count (round-1 measurements with the 16-lane
+# manifolds): <=480 lanes runs at full VMEM speed; beyond that the compiler
+# spills lane arrays to HBM and throughput collapses ~100x. The incident-face
+# manifolds keep every reference configuration (worst: chest nb=5, 476
+# lanes incl. arm collision) under that bound.
 LANE_BUDGET = 640
 
-
-DOOR_A = -1      # side A is the chest door
-PINNED_A = -2    # side A is a pinned (zero-mass, immovable) geom
+N_SPH = len(KM.ARM_SPHERE_RADIUS)
 
 
 class _Lane(NamedTuple):
@@ -56,66 +61,143 @@ class _Lane(NamedTuple):
     pen: jnp.ndarray
     active: jnp.ndarray    # f32 0/1
     mu: float
-    body_a: int            # free-body index, or DOOR_A / PINNED_A
-    side_b: tuple          # ('world',), ('finger', f), ('body', b), ('door',)
+    side_a: tuple          # ('body',b) ('pinned',) ('door',) ('arm',sp) ('finger',f)
+    side_b: tuple          # ('world',) ('finger',f) ('body',b) ('door',)
 
 
-# SAT geometry shared with the single-body kernel (pallas_engine.py) — one
-# copy of the tested math, both kernels' parity suites cover it
-_sat_normal = sat_face_normal
-_corners = box_corner_tiles
-_inside = point_in_box_tiles
+def _lane_link(side_a, side_b):
+    """Arm-coupling mask per dynamics.Engine lane_link: joints 0..link."""
+    if side_a[0] == 'arm':
+        return int(KM.ARM_SPHERE_LINK[side_a[1]])
+    if side_a[0] == 'finger' or side_b == ('finger', 0) or side_b == ('finger', 1):
+        return 6
+    if side_b[0] == 'finger':
+        return 6
+    return -1
 
 
-def _two_sided(ca, Ra, ha, cb, Rb, hb, mu, body_a, side_b):
-    """16-lane two-sided SAT manifold; A must be a free body."""
-    n, sat_ok, ra_n, rb_n = _sat_normal(ca, Ra, ha, cb, Rb, hb)
-    lanes = []
-    for p in _corners(ca, Ra, ha):              # A corners past B's +n face
+def _arm_sgn(side_a, side_b):
+    if side_a[0] in ('arm', 'finger'):
+        return 1.0
+    if side_b[0] == 'finger':
+        return -1.0
+    return 0.0
+
+
+def _couple(side_a, side_b):
+    """Arm-yield flag per dynamics.Engine lane_couple: arm spheres and
+    finger-vs-world lanes let contacts decelerate the arm; finger-vs-movable
+    lanes keep the arm kinematically stiff (Bullet's 200 N motor holds the
+    trajectory; the frozen-arm scheme would overshoot into backward kicks)."""
+    if side_a[0] == 'arm':
+        return 1.0
+    if side_a[0] == 'finger' and side_b == ('world',):
+        return 1.0
+    return 0.0
+
+
+def _ee_sgn(side_a, side_b):
+    """EE force-sensor contribution (dynamics._solve on_hand_a)."""
+    if side_a[0] == 'finger':
+        return 1.0
+    if side_a[0] == 'arm' and int(KM.ARM_SPHERE_LINK[side_a[1]]) == 6:
+        return 1.0
+    if side_b[0] == 'finger':
+        return -1.0
+    return 0.0
+
+
+def _two_sided(ca, Ra, ha, cb, Rb, hb, mu, side_a, side_b):
+    """9-lane two-sided SAT manifold (4+4 incident corners + cross)."""
+    n, sat_ok, ra_n, rb_n, min_ov = sat_face_normal(ca, Ra, ha, cb, Rb, hb)
+    lanes, inside_any = [], None
+    for p in incident_corner_tiles(ca, Ra, ha, -n):   # A corners toward B
         pen = rb_n - vdot(n, p - cb)
-        lanes.append(_Lane(p, n, pen, _inside(p, cb, Rb, hb) * sat_ok, mu,
-                           body_a, side_b))
-    for p in _corners(cb, Rb, hb):              # B corners past A's -n face
+        ins = point_in_box_tiles(p, cb, Rb, hb)
+        inside_any = ins if inside_any is None else jnp.maximum(inside_any, ins)
+        lanes.append(_Lane(p, n, pen, ins * sat_ok, mu, side_a, side_b))
+    for p in incident_corner_tiles(cb, Rb, hb, n):    # B corners toward A
         pen = vdot(n, p - ca) + ra_n
-        lanes.append(_Lane(p, n, pen, _inside(p, ca, Ra, ha) * sat_ok, mu,
-                           body_a, side_b))
+        ins = point_in_box_tiles(p, ca, Ra, ha)
+        inside_any = jnp.maximum(inside_any, ins)
+        lanes.append(_Lane(p, n, pen, ins * sat_ok, mu, side_a, side_b))
+    p_cross = 0.5 * (clamp_into_box_tiles(ca, cb, Rb, hb)
+                     + clamp_into_box_tiles(cb, ca, Ra, ha))
+    lanes.append(_Lane(p_cross, n, min_ov, sat_ok * (1.0 - inside_any), mu,
+                       side_a, side_b))
     return lanes
 
 
-def _one_sided(ca, Ra, ha, cb, Rb, hb, mu, body_a, side_b):
-    """8-lane manifold: only A's corners tested inside B (A = the free,
-    smaller geom; B = static wall / pinned body / door panel)."""
-    n, sat_ok, ra_n, rb_n = _sat_normal(ca, Ra, ha, cb, Rb, hb)
-    lanes = []
-    for p in _corners(ca, Ra, ha):
+def _one_sided(ca, Ra, ha, cb, Rb, hb, mu, side_a, side_b):
+    """5-lane manifold: A's incident corners tested inside B + cross
+    fallback (A = the free, smaller geom; B = static wall / pinned / door)."""
+    n, sat_ok, ra_n, rb_n, min_ov = sat_face_normal(ca, Ra, ha, cb, Rb, hb)
+    lanes, inside_any = [], None
+    for p in incident_corner_tiles(ca, Ra, ha, -n):
         pen = rb_n - vdot(n, p - cb)
-        lanes.append(_Lane(p, n, pen, _inside(p, cb, Rb, hb) * sat_ok, mu,
-                           body_a, side_b))
+        ins = point_in_box_tiles(p, cb, Rb, hb)
+        inside_any = ins if inside_any is None else jnp.maximum(inside_any, ins)
+        lanes.append(_Lane(p, n, pen, ins * sat_ok, mu, side_a, side_b))
+    p_cross = 0.5 * (clamp_into_box_tiles(ca, cb, Rb, hb)
+                     + clamp_into_box_tiles(cb, ca, Ra, ha))
+    lanes.append(_Lane(p_cross, n, min_ov, sat_ok * (1.0 - inside_any), mu,
+                       side_a, side_b))
     return lanes
 
 
-def _plane_lanes(c, R, q, geom_type, half, plane_z, mu, body_a):
+def _plane_lanes(c, R, q, geom_type, half, plane_z, mu, side_a):
+    """4-lane geom vs support plane (bottom incident face / bottom rim)."""
     lanes = []
     if geom_type == S.BOX:
-        for p in _corners(c, R, half):
-            pen = _c(plane_z) - p[2]
-            lanes.append(_Lane(p, _cv([0.0, 0.0, 1.0]), pen,
-                               (pen > -1e-4).astype(F32), mu, body_a,
-                               ('world',)))
+        pts = incident_corner_tiles(c, R, half, _cv([0.0, 0.0, -1.0]))
     else:
+        pts = []
         for k in range(4):
             ang = 2.0 * np.pi * k / 4
-            loc = _cv([half[0] * np.cos(ang), half[0] * np.sin(ang), -half[2]])
-            p = c + qrotate(q, loc)
-            pen = _c(plane_z) - p[2]
-            lanes.append(_Lane(p, _cv([0.0, 0.0, 1.0]), pen,
-                               (pen > -1e-4).astype(F32), mu, body_a,
-                               ('world',)))
+            loc = _cv([half[0] * np.cos(ang), half[0] * np.sin(ang),
+                       -half[2]])
+            pts.append(c + qrotate(q, loc))
+    for p in pts:
+        pen = _c(plane_z) - p[2]
+        lanes.append(_Lane(p, _cv([0.0, 0.0, 1.0]), pen,
+                           (pen > -1e-4).astype(F32), mu, side_a, ('world',)))
     return lanes
 
 
-def count_lanes(spec: S.SceneSpec) -> int:
-    """Host-side lane count for the budget check."""
+def _sphere_plane(c, radius, plane_z, mu, side_a):
+    pen = _c(plane_z + radius) - c[2]
+    p = c - _cv([0.0, 0.0, 1.0]) * radius
+    return [_Lane(p, _cv([0.0, 0.0, 1.0]), pen, (pen > -1e-4).astype(F32),
+                  mu, side_a, ('world',))]
+
+
+def _sphere_box(c, radius, cb, Rb, hb, mu, side_a, side_b):
+    """Sphere (A) vs box (B): 1 lane (contact.py:sphere_box)."""
+    rel = c - cb
+    cl = jnp.stack([vdot(Rb[:, i], rel) for i in range(3)])
+    clamped = jnp.stack([jnp.clip(cl[i], -hb[i], hb[i]) for i in range(3)])
+    delta = cl - clamped
+    d = jnp.sqrt(jnp.maximum(vdot(delta, delta), 1e-18))
+    outside = (jnp.sum(delta * delta, 0) > 1e-18).astype(F32)
+    n_out = delta / d[None]
+    e = [hb[i] - jnp.abs(cl[i]) for i in range(3)]
+    emin = jnp.minimum(e[0], jnp.minimum(e[1], e[2]))
+    is0 = ((e[0] <= e[1]) & (e[0] <= e[2])).astype(F32)
+    is1 = (1.0 - is0) * ((e[1] <= e[2]).astype(F32))
+    is2 = 1.0 - is0 - is1
+    sgn = [jnp.where(cl[i] >= 0, 1.0, -1.0) for i in range(3)]
+    n_local = (n_out * outside[None]
+               + jnp.stack([is0 * sgn[0], is1 * sgn[1], is2 * sgn[2]])
+               * (1.0 - outside[None]))
+    pen = (radius - d) * outside + (radius + emin) * (1.0 - outside)
+    n = mat3vec(Rb, n_local)
+    p = c - n * radius
+    return [_Lane(p, n, pen, (pen > -1e-4).astype(F32), mu, side_a, side_b)]
+
+
+def count_lanes(spec: S.SceneSpec, arm_collision: bool = True) -> int:
+    """Host-side lane count for the budget check (must mirror the lane
+    generation in _build_kernel)."""
     a = spec.np_arrays() if spec.n_bodies else None
     n = 0
     free, pinned = [], []
@@ -124,35 +206,41 @@ def count_lanes(spec: S.SceneSpec) -> int:
     geoms_of = {b: [g for g in range(len(a['geom_body']))
                     if a['geom_body'][g] == b] for b in range(spec.n_bodies)} \
         if spec.n_bodies else {}
+    nd = len(np.asarray(spec.door.geom_half).reshape(-1, 3)) \
+        if spec.door is not None else 0
+    ns = len(spec.static_half)
+    ng_all = len(a['geom_body']) if spec.n_bodies else 0
     for b in free:
         for g in geoms_of[b]:
-            n += 8 if a['geom_type'][g] == S.BOX else 4      # plane
-            n += 2 * (16 if a['geom_type'][g] == S.BOX else 2)  # fingers
-            n += 8 * len(spec.static_half)                   # statics
+            n += 4                                           # plane
+            n += 2 * (9 if a['geom_type'][g] == S.BOX else 2)   # fingers
+            n += 5 * ns                                      # statics
             for b2 in pinned:
-                n += 8 * len(geoms_of[b2])
-            if spec.door is not None:
-                n += 8 * len(np.asarray(spec.door.geom_half).reshape(-1, 3))
+                n += 5 * len(geoms_of[b2])
+            n += 5 * nd
     for b2 in pinned:
-        n += 2 * 16 * len(geoms_of[b2])          # finger vs pinned geoms
+        n += 2 * 9 * len(geoms_of[b2])           # finger vs pinned geoms
     for i, b in enumerate(free):
         for b2 in free[i + 1:]:
-            n += 16 * len(geoms_of[b]) * len(geoms_of[b2])
-    if spec.door is not None:
-        n += 2 * 16 * len(np.asarray(spec.door.geom_half).reshape(-1, 3))
+            n += 9 * len(geoms_of[b]) * len(geoms_of[b2])
+    n += 2 * 9 * nd                              # finger vs door
+    if arm_collision:
+        n += 2 * 4                               # finger vs plane
+        n += 2 * 5 * ns                          # finger vs statics
+        n += N_SPH * (1 + ng_all + ns + nd)      # arm spheres
     return n
 
 
-def supports_scene(spec: S.SceneSpec) -> bool:
+def supports_scene(spec: S.SceneSpec, arm_collision: bool = True) -> bool:
     if spec.n_bodies < 1:
         return False
     if not any(m > 0 for m in spec.np_arrays()['body_mass']):
         return False                    # all-pinned scene: no lanes to solve
-    return count_lanes(spec) <= LANE_BUDGET
+    return count_lanes(spec, arm_collision) <= LANE_BUDGET
 
 
 def _build_kernel(spec: S.SceneSpec, solver_iters: int, erp: float,
-                  slop: float, n_substeps: int):
+                  slop: float, n_substeps: int, arm_collision: bool):
     a = spec.np_arrays()
     B = spec.n_bodies
     masses = a['body_mass']
@@ -177,6 +265,8 @@ def _build_kernel(spec: S.SceneSpec, solver_iters: int, erp: float,
     jl_lo = np.asarray(KM.JOINT_LIMIT_LOWER, np.float32)
     jl_hi = np.asarray(KM.JOINT_LIMIT_UPPER, np.float32)
     arm_inertia = np.asarray(KM.ARM_EFFECTIVE_INERTIA, np.float32)
+    inv_arm = (1.0 / arm_inertia).astype(np.float32)
+    sph_radii = np.asarray(KM.ARM_SPHERE_RADIUS, np.float32)
 
     door = spec.door
     if door is not None:
@@ -192,7 +282,6 @@ def _build_kernel(spec: S.SceneSpec, solver_iters: int, erp: float,
     NB_OFF = 18
     N_ROWS = NB_OFF + 13 * B + 2 + 3
     DOOR_OFF = NB_OFF + 13 * B
-    EEF_OFF = DOOR_OFF + 2
     N_CTRL = 11    # qt7 ft2 door_on1 door_tgt1
 
     def door_frame(door_q):
@@ -215,26 +304,27 @@ def _build_kernel(spec: S.SceneSpec, solver_iters: int, erp: float,
         return vcross(_cv(door_axis), p - _cv(door_anchor))
 
     def substep(carry, qt, ft, door_on, door_tgt):
-        (q, qd, fq, fqd, bodies, door_q, door_qd, prev_f0, prev_f1) = carry
+        """One velocity-level 2 ms substep (mirrors dynamics.Engine.substep):
+        servos + gravity propose velocities, contacts at the CURRENT
+        coordinates correct them (frozen-arm joint coupling), then all
+        coordinates integrate together."""
+        (q, qd, fq, fqd, bodies, door_q, door_qd) = carry
         # bodies: list of (bp, bq, bv, bw)
 
-        # 1. arm servo
-        new_q, new_qd = [], []
+        # 1. arm servo -> proposed qd
+        new_qd = []
         for j in range(7):
             err = qt[j] - q[j]
             v_des = jnp.clip(D.ARM_SERVO_RATE * err, -D.ARM_VEL_LIMIT,
                              D.ARM_VEL_LIMIT)
             dv = KM.ARM_PD_FORCE * dt / arm_inertia[j]
-            qdj = qd[j] + jnp.clip(v_des - qd[j], -dv, dv)
-            new_q.append(jnp.clip(q[j] + qdj * dt, jl_lo[j], jl_hi[j]))
-            new_qd.append(qdj)
-        q = jnp.stack(new_q)
+            new_qd.append(qd[j] + jnp.clip(v_des - qd[j], -dv, dv))
         qd = jnp.stack(new_qd)
 
-        # 2. FK
-        r7, fpos, faxis = fk_fingers(q, fq)
-        fkin = [(fpos[0] - prev_f0) / dt, (fpos[1] - prev_f1) / dt]
-        Rb7 = qmat(r7)
+        # 2. FK at the current configuration
+        ch = fk_chain(q, fq)
+        fpos, faxis = ch['fpos'], ch['faxis']
+        Rb7 = qmat(ch['r7'])
 
         # 3. finger servo
         new_fqd = []
@@ -253,7 +343,7 @@ def _build_kernel(spec: S.SceneSpec, solver_iters: int, erp: float,
                    bw)
                   for b, (bp, bq, bv, bw) in enumerate(bodies)]
 
-        # 5. door servo / free coast (dynamics.py:510-522)
+        # 5. door servo / free coast (dynamics.py door block)
         if door is not None:
             d_err = door_tgt - door_q
             dv_des = jnp.clip(D.ARM_SERVO_RATE * d_err, -1.0, 1.0)
@@ -266,7 +356,7 @@ def _build_kernel(spec: S.SceneSpec, solver_iters: int, erp: float,
             door_geom_cr = [(dpos + mat3vec(Rd, _cv(off)), Rd, tuple(h))
                             for h, off in door_geoms]
 
-        # 6. lane generation
+        # 6. lane generation (all at the current coordinates)
         R_of = {b: qmat(bodies[b][1]) for b in range(B)}
         centers = {}
         for b in range(B):
@@ -282,52 +372,51 @@ def _build_kernel(spec: S.SceneSpec, solver_iters: int, erp: float,
                 half = tuple(float(x) for x in a['geom_half'][g])
                 mu_p = float(frictions[b] * spec.plane_friction)
                 lanes += _plane_lanes(centers[g], R_of[b], bodies[b][1],
-                                      gtype, half, spec.plane_z, mu_p, b)
+                                      gtype, half, spec.plane_z, mu_p,
+                                      ('body', b))
                 for f in range(2):
                     if gtype == S.BOX:
                         lanes += _two_sided(centers[g], R_of[b], half,
                                             fpos[f], Rb7, fhalf,
-                                            float(frictions[b]), b,
-                                            ('finger', f))
+                                            float(frictions[b]),
+                                            ('body', b), ('finger', f))
                     else:
-                        from pybullet_multigoal_gym_tpu.ops.pallas_engine \
-                            import _box_cyl_lanes
-                        for l in _box_cyl_lanes(fpos[f], Rb7, fhalf,
-                                                centers[g], half[0], half[2],
-                                                float(frictions[b]), f):
+                        for l in box_cyl_lanes(fpos[f], Rb7, fhalf,
+                                               centers[g], half[0], half[2],
+                                               float(frictions[b])):
                             lanes.append(_Lane(l.pt, l.nrm, l.pen, l.active,
-                                               l.mu, b, ('finger', f)))
+                                               l.mu, ('body', b),
+                                               ('finger', f)))
                 for si in range(len(spec.static_half)):
                     sh = tuple(float(x) for x in a['static_half'][si])
                     sc = _cv(a['static_pos'][si])
                     sR = qmat(_cq([1.0, 0.0, 0.0, 0.0]))
                     mu_s = float(frictions[b] * a['static_friction'][si])
                     lanes += _one_sided(centers[g], R_of[b], half, sc, sR, sh,
-                                        mu_s, b, ('world',))
+                                        mu_s, ('body', b), ('world',))
                 for b2 in pinned:
                     for g2 in geoms_of[b2]:
                         h2 = tuple(float(x) for x in a['geom_half'][g2])
                         lanes += _one_sided(
                             centers[g], R_of[b], half, centers[g2], R_of[b2],
-                            h2, float(frictions[b] * frictions[b2]), b,
-                            ('world',))
+                            h2, float(frictions[b] * frictions[b2]),
+                            ('body', b), ('world',))
                 if door is not None:
                     for dc, dR, dh in door_geom_cr:
                         lanes += _one_sided(centers[g], R_of[b], half, dc, dR,
-                                            dh, float(frictions[b] * 0.5), b,
-                                            ('door',))
-        # finger vs PINNED geoms (e.g. the insertion slot): the XLA engine
-        # builds finger lanes for all geoms (dynamics.py:171-177); these feed
-        # the EE force sensor and stop the fingers at slot walls. Pinned
-        # side A = immovable: body_a = PINNED_A, zero velocity, no apply.
+                                            dh, float(frictions[b] * 0.5),
+                                            ('body', b), ('door',))
+        # finger vs PINNED geoms (e.g. the insertion slot): feed the EE force
+        # sensor and stop the fingers at slot walls. Pinned side A =
+        # immovable: zero velocity, no application.
         for b2 in pinned:
             for g2 in geoms_of[b2]:
                 h2 = tuple(float(x) for x in a['geom_half'][g2])
                 for f in range(2):
                     lanes += _two_sided(centers[g2], R_of[b2], h2,
                                         fpos[f], Rb7, fhalf,
-                                        float(frictions[b2]), PINNED_A,
-                                        ('finger', f))
+                                        float(frictions[b2]),
+                                        ('pinned',), ('finger', f))
         for i, b in enumerate(free):
             for b2 in free[i + 1:]:
                 for g in geoms_of[b]:
@@ -337,24 +426,65 @@ def _build_kernel(spec: S.SceneSpec, solver_iters: int, erp: float,
                             tuple(float(x) for x in a['geom_half'][g]),
                             centers[g2], R_of[b2],
                             tuple(float(x) for x in a['geom_half'][g2]),
-                            float(frictions[b] * frictions[b2]), b,
-                            ('body', b2))
+                            float(frictions[b] * frictions[b2]),
+                            ('body', b), ('body', b2))
         if door is not None:
             for f in range(2):
                 for dc, dR, dh in door_geom_cr:
-                    # door is side A, finger side B (dynamics.py:197-199)
+                    # door is side A, finger side B (dynamics.py plan)
                     lanes += _two_sided(dc, dR, dh, fpos[f], Rb7, fhalf,
-                                        1.0, DOOR_A, ('finger', f))
+                                        1.0, ('door',), ('finger', f))
+        if arm_collision:
+            for f in range(2):
+                # finger pads vs plane / static walls (normal pushes finger)
+                for p in incident_corner_tiles(fpos[f], Rb7,
+                                               fhalf, _cv([0.0, 0.0, -1.0])):
+                    pen = _c(spec.plane_z) - p[2]
+                    lanes.append(_Lane(p, _cv([0.0, 0.0, 1.0]), pen,
+                                       (pen > -1e-4).astype(F32),
+                                       float(spec.plane_friction),
+                                       ('finger', f), ('world',)))
+                for si in range(len(spec.static_half)):
+                    sh = tuple(float(x) for x in a['static_half'][si])
+                    sc = _cv(a['static_pos'][si])
+                    sR = qmat(_cq([1.0, 0.0, 0.0, 0.0]))
+                    lanes += _one_sided(fpos[f], Rb7, fhalf, sc, sR, sh,
+                                        float(a['static_friction'][si]),
+                                        ('finger', f), ('world',))
+            for sp in range(N_SPH):
+                r_s = float(sph_radii[sp])
+                lanes += _sphere_plane(ch['spheres'][sp], r_s,
+                                       spec.plane_z,
+                                       0.5 * float(spec.plane_friction),
+                                       ('arm', sp))
+                for b in range(B):
+                    for g in geoms_of[b]:
+                        h_g = tuple(float(x) for x in a['geom_half'][g])
+                        side_b = ('body', b) if masses[b] > 0 else ('world',)
+                        lanes += _sphere_box(
+                            ch['spheres'][sp], r_s, centers[g], R_of[b], h_g,
+                            0.5 * float(frictions[b]), ('arm', sp), side_b)
+                for si in range(len(spec.static_half)):
+                    sh = tuple(float(x) for x in a['static_half'][si])
+                    lanes += _sphere_box(
+                        ch['spheres'][sp], r_s, _cv(a['static_pos'][si]),
+                        qmat(_cq([1.0, 0.0, 0.0, 0.0])), sh,
+                        0.5 * float(a['static_friction'][si]),
+                        ('arm', sp), ('world',))
+                if door is not None:
+                    for dc, dR, dh in door_geom_cr:
+                        lanes += _sphere_box(ch['spheres'][sp], r_s, dc, dR,
+                                             tuple(float(x) for x in dh), 0.5,
+                                             ('arm', sp), ('door',))
 
-        # 7. segmentation: the generators above emit lanes grouped by
-        # (body_a, side, mu); contiguous runs become SEGMENTS addressed with
-        # static slices. No per-lane constant (mask/mu) tile arrays — the
-        # masked formulation materialised O(B * L) constant tiles and blew
-        # VMEM beyond ~2 free bodies.
+        # 7. segmentation: contiguous lane runs sharing (side_a, side_b, mu)
+        # become SEGMENTS addressed with static slices. No per-lane constant
+        # tile arrays — the masked formulation materialised O(B * L) constant
+        # tiles and blew VMEM beyond ~2 free bodies.
         L = len(lanes)
-        segs = []        # (start, end, body_a, side, mu)
+        segs = []        # (start, end, side_a, side_b, mu)
         for i, l in enumerate(lanes):
-            key_ = (l.body_a, l.side_b, l.mu)
+            key_ = (l.side_a, l.side_b, l.mu)
             if segs and (segs[-1][2], segs[-1][3], segs[-1][4]) == key_:
                 segs[-1] = (segs[-1][0], i + 1, *key_)
             else:
@@ -377,22 +507,36 @@ def _build_kernel(spec: S.SceneSpec, solver_iters: int, erp: float,
                               u[:, 2] * v[:, 0] - u[:, 0] * v[:, 2],
                               u[:, 0] * v[:, 1] - u[:, 1] * v[:, 0]], 1)
 
-        # per-segment arms / jacobians (stored only where needed)
-        r_a_parts, r_b_seg, djac_seg = [], {}, {}
-        for si, (s0, s1, ba, side, _) in enumerate(segs):
+        # per-segment arms / jacobians / frozen arm point velocities
+        # (stored only where needed)
+        r_a_parts, r_b_seg, djac_seg, varm_seg = [], {}, {}, {}
+        seg_link = [_lane_link(sa, sb) for (_, _, sa, sb, _) in segs]
+        seg_asgn = [_arm_sgn(sa, sb) for (_, _, sa, sb, _) in segs]
+        seg_cpl = [_couple(sa, sb) for (_, _, sa, sb, _) in segs]
+        seg_esgn = [_ee_sgn(sa, sb) for (_, _, sa, sb, _) in segs]
+        for si, (s0, s1, sa, sb, _) in enumerate(segs):
             sl = slice(s0, s1)
-            if ba >= 0:
-                r_a_parts.append(pts[sl] - bodies[ba][0][None])
+            if sa[0] == 'body':
+                r_a_parts.append(pts[sl] - bodies[sa[1]][0][None])
             else:
-                r_a_parts.append(pts[sl] * 0.0)   # door/pinned A: no arm
-                if ba == DOOR_A:
+                r_a_parts.append(pts[sl] * 0.0)   # door/pinned/arm/finger A
+                if sa == ('door',):
                     djac_seg[si] = jnp.stack(
                         [door_jac(pts[i], door_q) for i in range(s0, s1)])
-            if side[0] == 'body':
-                r_b_seg[si] = pts[sl] - bodies[side[1]][0][None]
-            if side == ('door',):
+            if sb[0] == 'body':
+                r_b_seg[si] = pts[sl] - bodies[sb[1]][0][None]
+            if sb == ('door',):
                 djac_seg[si] = jnp.stack(
                     [door_jac(pts[i], door_q) for i in range(s0, s1)])
+            if seg_link[si] >= 0:
+                # frozen arm point velocity: v_arm(p) = sum_j<=link qd_j *
+                # (z_j x (p - o_j)) — constant through the solver iterations
+                v = 0.0
+                for j in range(seg_link[si] + 1):
+                    zb = jnp.broadcast_to(ch['z'][j][None], pts[sl].shape)
+                    v = v + lcross(zb, pts[sl] - ch['o'][j][None]) \
+                        * qd[j][None, None]
+                varm_seg[si] = v
         r_a = jnp.concatenate(r_a_parts)
 
         up = jnp.where(jnp.abs(nrm[:, 2:3]) < 0.9,
@@ -411,48 +555,58 @@ def _build_kernel(spec: S.SceneSpec, solver_iters: int, erp: float,
         counts = {}
         for b in free:
             c = 0.0
-            for (s0, s1, ba, side, _) in segs:
-                if ba == b or side == ('body', b):
+            for (s0, s1, sa, sb, _) in segs:
+                if sa == ('body', b) or sb == ('body', b):
                     c = c + jnp.sum(act[s0:s1], 0)
             counts[b] = jnp.maximum(c, 1.0)
         fin_counts = []
         for f in range(2):
             c = 0.0
-            for (s0, s1, ba, side, _) in segs:
-                if side == ('finger', f):
+            for (s0, s1, sa, sb, _) in segs:
+                if sb == ('finger', f) or sa == ('finger', f):
                     c = c + jnp.sum(act[s0:s1], 0)
             fin_counts.append(jnp.maximum(c, 1.0))
         if door is not None:
             c = 0.0
-            for (s0, s1, ba, side, _) in segs:
-                if ba == DOOR_A or side == ('door',):
+            for (s0, s1, sa, sb, _) in segs:
+                if sa == ('door',) or sb == ('door',):
                     c = c + jnp.sum(act[s0:s1], 0)
             door_count = jnp.maximum(c, 1.0)
+        arm_count = 0.0
+        for si, (s0, s1, _, _, _) in enumerate(segs):
+            if seg_cpl[si] > 0:
+                arm_count = arm_count + jnp.sum(act[s0:s1], 0)
+        if not isinstance(arm_count, float):
+            arm_count = jnp.maximum(arm_count, 1.0)
 
         def k_of(d):
             """Effective inverse mass per lane along direction d (L,...)."""
             parts = []
-            for si, (s0, s1, ba, side, _) in enumerate(segs):
+            for si, (s0, s1, sa, sb, _) in enumerate(segs):
                 sl = slice(s0, s1)
                 ds = d[sl]
                 k = 0.0
-                if ba >= 0:
+                if sa[0] == 'body':
                     rxd = lcross(r_a[sl], ds)
-                    Iw = inv_I_w[ba]
+                    Iw = inv_I_w[sa[1]]
                     Iw_rxd = jnp.stack(
                         [sum(Iw[i][j] * rxd[:, j] for j in range(3))
                          for i in range(3)], 1)
-                    k = k + (inv_mass[ba] + jnp.sum(rxd * Iw_rxd, 1)) \
-                        * counts[ba][None]
-                elif ba == DOOR_A:
+                    k = k + (inv_mass[sa[1]] + jnp.sum(rxd * Iw_rxd, 1)) \
+                        * counts[sa[1]][None]
+                elif sa == ('door',):
                     dj = jnp.sum(ds * djac_seg[si], 1)
                     k = k + (dj * dj * door_inv_mass) * door_count[None]
-                # PINNED_A contributes nothing (immovable)
-                if side[0] == 'finger':
-                    da = jnp.sum(ds * faxis[side[1]][None], 1)
-                    k = k + (da * da / finger_mass) * fin_counts[side[1]][None]
-                elif side[0] == 'body':
-                    b2 = side[1]
+                elif sa[0] == 'finger':
+                    da = jnp.sum(ds * faxis[sa[1]][None], 1)
+                    k = k + (da * da / finger_mass) * fin_counts[sa[1]][None]
+                # ('pinned',)/('arm',sp) contribute nothing here (the arm
+                # term is added once per lane below)
+                if sb[0] == 'finger':
+                    da = jnp.sum(ds * faxis[sb[1]][None], 1)
+                    k = k + (da * da / finger_mass) * fin_counts[sb[1]][None]
+                elif sb[0] == 'body':
+                    b2 = sb[1]
                     rxd = lcross(r_b_seg[si], ds)
                     Iw = inv_I_w[b2]
                     Iw_rxd = jnp.stack(
@@ -460,9 +614,18 @@ def _build_kernel(spec: S.SceneSpec, solver_iters: int, erp: float,
                          for i in range(3)], 1)
                     k = k + (inv_mass[b2] + jnp.sum(rxd * Iw_rxd, 1)) \
                         * counts[b2][None]
-                elif side == ('door',):
+                elif sb == ('door',):
                     dj = jnp.sum(ds * djac_seg[si], 1)
                     k = k + (dj * dj * door_inv_mass) * door_count[None]
+                if seg_cpl[si] > 0:
+                    # arm coupling: k_arm = arm_count * sum_j (J_j.d)^2/I_j,
+                    # J_j.d = z_j . ((p - o_j) x d)
+                    ka = 0.0
+                    for j in range(seg_link[si] + 1):
+                        pd_ = lcross(pts[sl] - ch['o'][j][None], ds)
+                        jd = jnp.sum(pd_ * ch['z'][j][None], 1)
+                        ka = ka + jd * jd * float(inv_arm[j])
+                    k = k + ka * arm_count[None]
                 parts.append(k)
             return jnp.concatenate(parts)
 
@@ -471,34 +634,39 @@ def _build_kernel(spec: S.SceneSpec, solver_iters: int, erp: float,
         # degenerate lanes (direction orthogonal to every DOF) must be
         # EXCLUDED, not floored: dividing by the 1e-8 floor accumulates
         # garbage lambdas that pollute the EE force sensor
-        # (dynamics._solve's `solvable` gate)
         solvable = act * (kn_raw > 1e-8).astype(F32)
         kn = jnp.maximum(kn_raw, 1e-8)
         kt1 = jnp.maximum(k_of(t1_init), 1e-8)
         kt2 = jnp.maximum(k_of(t2_init), 1e-8)
-        bias = -(erp / dt) * jnp.maximum(pen - slop, 0.0)
+        # capped recovery velocity (dynamics._solve BIAS_CAP)
+        bias = -jnp.minimum((erp / dt) * jnp.maximum(pen - slop, 0.0),
+                            D.BIAS_CAP)
 
         def iteration(_, sc):
             vels, fqd_, door_qd_, ln, lt1, lt2 = sc
             t1, t2 = tangents()              # recomputed: not stored in carry
             vrel_parts = []
-            for si, (s0, s1, ba, side, _) in enumerate(segs):
+            for si, (s0, s1, sa, sb, _) in enumerate(segs):
                 sl = slice(s0, s1)
-                if ba >= 0:
-                    bv_, bw_ = vels[ba]
+                if sa[0] == 'body':
+                    bv_, bw_ = vels[sa[1]]
                     va = bv_[None] + lcross(
                         jnp.broadcast_to(bw_[None], r_a[sl].shape), r_a[sl])
-                elif ba == DOOR_A:
+                elif sa == ('door',):
                     va = djac_seg[si] * door_qd_
-                else:                    # PINNED_A: immovable
+                elif sa[0] == 'finger':
+                    va = varm_seg[si] + faxis[sa[1]][None] * fqd_[sa[1]][None, None]
+                elif sa[0] == 'arm':
+                    va = varm_seg[si]
+                else:                    # ('pinned',): immovable
                     va = 0.0
-                if side == ('world',):
+                if sb == ('world',):
                     vb = 0.0
-                elif side[0] == 'finger':
-                    f = side[1]
-                    vb = (fkin[f] + faxis[f] * fqd_[f][None])[None]
-                elif side[0] == 'body':
-                    bv2, bw2 = vels[side[1]]
+                elif sb[0] == 'finger':
+                    f = sb[1]
+                    vb = varm_seg[si] + faxis[f][None] * fqd_[f][None, None]
+                elif sb[0] == 'body':
+                    bv2, bw2 = vels[sb[1]]
                     vb = bv2[None] + lcross(
                         jnp.broadcast_to(bw2[None], r_b_seg[si].shape),
                         r_b_seg[si])
@@ -526,24 +694,27 @@ def _build_kernel(spec: S.SceneSpec, solver_iters: int, erp: float,
             dw = {b: 0.0 for b in free}
             dfq = [0.0, 0.0]
             ddoor = 0.0
-            for si, (s0, s1, ba, side, _) in enumerate(segs):
+            for si, (s0, s1, sa, sb, _) in enumerate(segs):
                 sl = slice(s0, s1)
                 imp_s = imp[sl]
-                if ba >= 0:
-                    dv[ba] = dv[ba] + jnp.sum(imp_s, 0)
-                    dw[ba] = dw[ba] + jnp.sum(lcross(r_a[sl], imp_s), 0)
-                elif ba == DOOR_A:
+                if sa[0] == 'body':
+                    dv[sa[1]] = dv[sa[1]] + jnp.sum(imp_s, 0)
+                    dw[sa[1]] = dw[sa[1]] + jnp.sum(lcross(r_a[sl], imp_s), 0)
+                elif sa == ('door',):
                     ddoor = ddoor + jnp.sum(
                         jnp.sum(imp_s * djac_seg[si], 1), 0)
-                # PINNED_A: no application
-                if side[0] == 'finger':
-                    dfq[side[1]] = dfq[side[1]] + jnp.sum(
-                        jnp.sum(imp_s * faxis[side[1]][None], 1), 0)
-                elif side[0] == 'body':
-                    b2 = side[1]
+                elif sa[0] == 'finger':
+                    dfq[sa[1]] = dfq[sa[1]] + jnp.sum(
+                        jnp.sum(imp_s * faxis[sa[1]][None], 1), 0)
+                # ('pinned',)/('arm',sp): no in-loop application (frozen arm)
+                if sb[0] == 'finger':
+                    dfq[sb[1]] = dfq[sb[1]] - jnp.sum(
+                        jnp.sum(imp_s * faxis[sb[1]][None], 1), 0)
+                elif sb[0] == 'body':
+                    b2 = sb[1]
                     dv[b2] = dv[b2] - jnp.sum(imp_s, 0)
                     dw[b2] = dw[b2] - jnp.sum(lcross(r_b_seg[si], imp_s), 0)
-                elif side == ('door',):
+                elif sb == ('door',):
                     ddoor = ddoor - jnp.sum(
                         jnp.sum(imp_s * djac_seg[si], 1), 0)
             new_vels = list(vels)
@@ -555,8 +726,8 @@ def _build_kernel(spec: S.SceneSpec, solver_iters: int, erp: float,
                     bv_ + dv[b] * inv_mass[b],
                     bw_ + jnp.stack([sum(Iw[i][j] * ang[j] for j in range(3))
                                      for i in range(3)]))
-            fqd_ = jnp.stack([fqd_[0] - dfq[0] / finger_mass,
-                              fqd_[1] - dfq[1] / finger_mass])
+            fqd_ = jnp.stack([fqd_[0] + dfq[0] / finger_mass,
+                              fqd_[1] + dfq[1] / finger_mass])
             if door is not None:
                 door_qd_ = door_qd_ + ddoor * door_inv_mass
             return new_vels, fqd_, door_qd_, nln, nlt1, nlt2
@@ -570,14 +741,35 @@ def _build_kernel(spec: S.SceneSpec, solver_iters: int, erp: float,
         t1_f, t2_f = tangents()
         tot_imp = (nrm * ln[:, None] + t1_f * lt1[:, None]
                    + t2_f * lt2[:, None])
+
+        # arm coupling: accumulated impulses -> joint velocities, applied
+        # once after the loop (frozen-arm scheme, dynamics._solve)
+        dqd = [0.0] * 7
+        for si, (s0, s1, sa, sb, _) in enumerate(segs):
+            if seg_cpl[si] <= 0:
+                continue
+            sl = slice(s0, s1)
+            imp_s = tot_imp[sl] * seg_asgn[si]
+            for j in range(seg_link[si] + 1):
+                pd_ = lcross(pts[sl] - ch['o'][j][None], imp_s)
+                dqd[j] = dqd[j] + jnp.sum(
+                    jnp.sum(pd_ * ch['z'][j][None], 1), 0)
+        qd = jnp.stack([qd[j] + (dqd[j] * float(inv_arm[j])
+                                 if not isinstance(dqd[j], float) else 0.0)
+                        for j in range(7)])
+
+        # EE force sensor: impulse onto the gripper (fingers + palm spheres)
         ee_force = 0.0
-        for (s0, s1, ba, side, _) in segs:
-            if side[0] == 'finger':
-                ee_force = ee_force - jnp.sum(tot_imp[s0:s1], 0)
+        for si, (s0, s1, _, _, _) in enumerate(segs):
+            if seg_esgn[si] != 0.0:
+                ee_force = ee_force + seg_esgn[si] * jnp.sum(
+                    tot_imp[s0:s1], 0)
         ee_force = (ee_force / dt if not isinstance(ee_force, float)
                     else jnp.zeros((3, SUB, LANE), F32))
 
-        # 8. integrate
+        # 8. integrate everything with the corrected velocities
+        q = jnp.stack([jnp.clip(q[j] + qd[j] * dt, jl_lo[j], jl_hi[j])
+                       for j in range(7)])
         new_bodies = []
         for b in range(B):
             bp, bq, _, _ = bodies[b]
@@ -595,8 +787,7 @@ def _build_kernel(spec: S.SceneSpec, solver_iters: int, erp: float,
         if door is not None:
             door_q = jnp.clip(door_q + door_qd * dt, 0.0, float(door.limit))
 
-        return ((q, qd, fq, fqd_, new_bodies, door_q, door_qd,
-                 fpos[0], fpos[1]), ee_force)
+        return ((q, qd, fq, fqd_, new_bodies, door_q, door_qd), ee_force)
 
     def kernel(state_ref, ctrl_ref, out_ref):
         s = state_ref[:]
@@ -610,17 +801,15 @@ def _build_kernel(spec: S.SceneSpec, solver_iters: int, erp: float,
             bodies.append((s[o:o + 3], s[o + 3:o + 7], s[o + 7:o + 10],
                            s[o + 10:o + 13]))
         door_q, door_qd = s[DOOR_OFF], s[DOOR_OFF + 1]
-        _, fpos0, _ = fk_fingers(q, fq)
 
         def body_fn(i, carry):
             new_carry, ee = substep(carry[0], qt, ft, door_on, door_tgt)
             return (new_carry, ee)
 
-        carry = ((q, qd, fq, fqd, bodies, door_q, door_qd,
-                  fpos0[0], fpos0[1]),
+        carry = ((q, qd, fq, fqd, bodies, door_q, door_qd),
                  jnp.zeros((3, SUB, LANE), F32))
         carry = jax.lax.fori_loop(0, n_substeps, body_fn, carry)
-        (q, qd, fq, fqd, bodies, door_q, door_qd, _, _), ee = carry
+        (q, qd, fq, fqd, bodies, door_q, door_qd), ee = carry
         rows = [q, qd, fq, fqd]
         for b in range(B):
             rows += [bodies[b][0], bodies[b][1], bodies[b][2], bodies[b][3]]
@@ -634,14 +823,16 @@ class PallasMultiBodyEngine:
     """Batched control_step for general scenes (multi-body / chest / pinned)."""
 
     def __init__(self, spec: S.SceneSpec, solver_iters: int = 8,
-                 erp: float = 0.2, slop: float = 5e-4, interpret=None):
-        assert supports_scene(spec), \
+                 erp: float = 0.2, slop: float = 5e-4, interpret=None,
+                 arm_collision: bool = True):
+        assert supports_scene(spec, arm_collision), \
             'scene exceeds the pallas lane budget (%d > %d)' % (
-                count_lanes(spec), LANE_BUDGET)
+                count_lanes(spec, arm_collision), LANE_BUDGET)
         self.spec = spec
         self.solver_iters = solver_iters
         self.erp = erp
         self.slop = slop
+        self.arm_collision = arm_collision
         if interpret is None:
             interpret = jax.default_backend() != 'tpu'
         self.interpret = interpret
@@ -650,7 +841,8 @@ class PallasMultiBodyEngine:
     def _get(self, n_sub):
         if n_sub not in self._kernels:
             self._kernels[n_sub] = _build_kernel(
-                self.spec, self.solver_iters, self.erp, self.slop, n_sub)
+                self.spec, self.solver_iters, self.erp, self.slop, n_sub,
+                self.arm_collision)
         return self._kernels[n_sub]
 
     def control_step(self, state: D.PhysicsState, controls: D.Controls,
@@ -693,7 +885,7 @@ class PallasMultiBodyEngine:
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((n_rows, G * SUB, LANE), F32),
             # the default scoped-vmem limit is 16 MB; the largest supported
-            # scenes peak slightly above it (nb=4: 16.7 MB measured)
+            # scenes peak slightly above it
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=64 * 1024 * 1024),
             interpret=self.interpret,

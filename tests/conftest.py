@@ -2,6 +2,19 @@
 
 Note: the session environment may pin JAX_PLATFORMS to a TPU backend, and
 pytest plugins import jax before this file runs, so we do NOT try to force a
-platform here. Multi-device mesh tests (tests/test_sharding.py) spawn
-subprocesses with JAX_PLATFORMS=cpu and
---xla_force_host_platform_device_count=8 instead."""
+platform here by default. Multi-device mesh tests (tests/test_sharding.py)
+spawn subprocesses with JAX_PLATFORMS=cpu and
+--xla_force_host_platform_device_count=8 instead.
+
+For fast local iteration, ``PMG_FORCE_CPU=1 PYTEST_DISABLE_PLUGIN_AUTOLOAD=1
+python -m pytest ...`` forces the CPU backend (works only when plugin
+autoload is disabled, otherwise a plugin may initialise the TPU backend
+before this file runs).
+"""
+
+import os
+
+if os.environ.get('PMG_FORCE_CPU'):
+    import jax
+
+    jax.config.update('jax_platforms', 'cpu')

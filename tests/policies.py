@@ -1,0 +1,403 @@
+"""Shared scripted-control primitives for the acceptance tests.
+
+These encode simple geometric strategies (approach from behind + push;
+pick-and-place) against the PUBLIC env API: they read observations and emit
+actions, proving end-to-end solvability of each task family
+(reference analogue: the eyeball demos in examples/*.py).
+"""
+
+import numpy as np
+
+TRAVERSE_Z = 0.30       # safe altitude: finger bottoms clear a 0.19 block top
+PUSH_Z = 0.177          # pushing height: finger faces cover the block side
+
+
+def push_step(grip, block, tgt, z_push=PUSH_Z):
+    """One EE-space pushing action (3,) driving ``block`` toward ``tgt``.
+
+    Strategy: stage the EE at a point 5 cm behind the block on the goal
+    line (clear of the block), descend there, then drive through the block
+    toward the goal. While in pushing contact the gripper rides 1-2 cm
+    behind the block centre, so the PUSH branch keeps control until the
+    gripper actually crosses the block."""
+    to_goal = tgt[:2] - block[:2]
+    dg = np.linalg.norm(to_goal)
+    pd = to_goal / max(dg, 1e-6)
+    rel = grip[:2] - block[:2]
+    along = float(np.dot(rel, pd))
+    lat = float(np.linalg.norm(rel - along * pd))
+    low = grip[2] < z_push + 0.02
+    stage = block[:2] - pd * 0.05
+    if low and along < -0.004 and lat < 0.03:
+        # behind on the push line: drive through toward the target
+        t = np.concatenate([block[:2] + pd * min(dg, 0.03), [z_push]])
+        return np.clip((t - grip) * 30, -1, 1)
+    if low and along < -0.025:
+        # low, clearly behind, off the line: steer to the staging point
+        # WITHOUT rising (rise + re-descend costs ~20 steps per cycle)
+        t = np.concatenate([stage, [z_push]])
+        return np.clip((t - grip) * 30, -1, 1)
+    if low:
+        # low on the wrong side of the block: rise before traversing
+        return np.array([0.0, 0.0, 1.0])
+    if np.linalg.norm(grip[:2] - stage) < 0.012:
+        # above the staging point: descend onto it
+        t = np.concatenate([stage, [z_push]])
+        return np.clip((t - grip) * 30, -1, 1)
+    t = np.concatenate([stage, [TRAVERSE_Z]])
+    return np.clip((t - grip) * 30, -1, 1)
+
+
+def pick_place_step(grip, closeness, block, tgt):
+    """One grasping pick-and-place action: returns (xyz_action, grip_action).
+
+    grip_action -1 opens the fingers, +1 closes them (kuka.py:169-172)."""
+    d_xy = np.linalg.norm(grip[:2] - block[:2])
+    d3 = np.linalg.norm(grip - block)
+    holding = closeness < 0.038 and d3 < 0.02
+    if holding:
+        above = tgt + [0.0, 0.0, 0.06]
+        if np.linalg.norm(grip[:2] - tgt[:2]) > 0.01:
+            return np.clip((above - grip) * 25, -1, 1), 1.0
+        return np.clip((tgt - grip) * 20, -1, 1), 1.0
+    if d_xy > 0.01 or grip[2] < block[2] - 0.01:
+        above = block + [0.0, 0.0, 0.06]
+        return np.clip((above - grip) * 30, -1, 1), -1.0
+    if closeness > 0.045 and d3 > 0.012:
+        return np.clip((block - grip) * 30, -1, 1), -1.0
+    return np.zeros(3), 1.0
+
+
+def release_step(grip, block):
+    """Open and retreat after a placement."""
+    if grip[2] < block[2] + 0.05:
+        return np.array([0.0, 0.0, 1.0]), -1.0
+    return np.zeros(3), -1.0
+
+
+def _goto(tgt, grip, gain=25):
+    return np.clip((np.asarray(tgt) - grip) * gain, -1, 1)
+
+
+class RearrangeExpert:
+    """Pushes each mismatched block to its flat target, worst-error first
+    (block_rearrange: all targets on the table, no grasping needed)."""
+
+    def __init__(self, nb):
+        self.nb = nb
+        self.reset()
+
+    def reset(self):
+        self.cur = -1
+
+    def __call__(self, obs):
+        grip = obs['policy_state'][:3]
+        ag = obs['achieved_goal'].reshape(self.nb, 3)
+        dg = obs['desired_goal'].reshape(self.nb, 3)
+        errs = np.linalg.norm(ag[:, :2] - dg[:, :2], axis=-1)
+        if self.cur < 0 or errs[self.cur] < 0.018:
+            self.cur = int(np.argmax(errs))
+        if errs[self.cur] < 0.018:
+            return np.zeros(3, np.float32)
+        return push_step(grip, ag[self.cur], dg[self.cur]).astype(np.float32)
+
+
+class StackExpert:
+    """Builds the tower bottom-up with grasped pick-and-place
+    (block_stack: per-level targets z = 0.175 + 0.03 k)."""
+
+    def __init__(self, nb):
+        self.nb = nb
+
+    def reset(self):
+        pass
+
+    def _pick_place(self, grip, closeness, block, tgt):
+        d_xy = np.linalg.norm(grip[:2] - block[:2])
+        d3 = np.linalg.norm(grip - block)
+        at_tgt = np.linalg.norm(block - tgt) < 0.012
+        holding = closeness < 0.038 and d3 < 0.02
+        if at_tgt:
+            if grip[2] < block[2] + 0.08:
+                return np.array([0.0, 0.0, 1.0]), -1.0
+            return np.zeros(3), -1.0
+        if holding:
+            above = tgt + [0.0, 0.0, 0.06]
+            if np.linalg.norm(grip[:2] - tgt[:2]) > 0.01:
+                return _goto(above, grip), 1.0
+            return _goto(tgt, grip, 20), 1.0
+        if d_xy > 0.01 or grip[2] < block[2] - 0.01:
+            return _goto(block + [0.0, 0.0, 0.06], grip, 30), -1.0
+        if closeness > 0.045 and d3 > 0.012:
+            return _goto(block, grip, 30), -1.0
+        return np.zeros(3), 1.0
+
+    def __call__(self, obs):
+        grip = obs['policy_state'][:3]
+        closeness = obs['policy_state'][3]
+        ag = obs['achieved_goal'].reshape(self.nb, 3)
+        dg = obs['desired_goal'].reshape(self.nb, 3)
+        a, g = np.zeros(3), -1.0
+        for i in np.argsort(dg[:, 2]):          # bottom level first
+            if np.linalg.norm(ag[i] - dg[i]) > 0.012:
+                a, g = self._pick_place(grip, closeness, ag[i], dg[i])
+                break
+        return np.concatenate([a, [g]]).astype(np.float32)
+
+
+class ChestPushExpert:
+    """chest_push (front_sliding door): pinch the handle, sweep +y to slide
+    the door open to 0.12, then push each block through the opening to its
+    in-chest target (chest at (-0.70, 0, 0.17), door on the +x face)."""
+
+    def __init__(self, nb):
+        self.nb = nb
+        self.reset()
+
+    def reset(self):
+        self.phase = 0
+
+    def __call__(self, obs):
+        nb = self.nb
+        grip = obs['policy_state'][:3]
+        door_q = obs['achieved_goal'][0]
+        ag = obs['achieved_goal'][1:1 + 3 * nb].reshape(nb, 3)
+        dg = obs['desired_goal'][1:1 + 3 * nb].reshape(nb, 3)
+        if self.phase == 0:                     # rise clear of everything
+            a = np.array([0.0, 0.0, 1.0])
+            if grip[2] > 0.32:
+                self.phase = 1
+        elif self.phase == 1:                   # above the handle's -y side
+            tgt = np.array([-0.567, -0.06, 0.33])
+            a = _goto(tgt, grip)
+            if np.linalg.norm(grip[:2] - tgt[:2]) < 0.008:
+                self.phase = 2
+        elif self.phase == 2:                   # descend to handle height
+            tgt = np.array([-0.567, -0.06, 0.215])
+            a = _goto(tgt, grip)
+            if abs(grip[2] - 0.215) < 0.005:
+                self.phase = 3
+        elif self.phase == 3:                   # sweep +y: door slides open
+            a = np.array([0.0, 1.0, 0.0])
+            if door_q >= 0.112:
+                self.phase = 4
+        elif self.phase == 4:                   # retreat before block work
+            a = np.array([-0.3, -0.5, 1.0])
+            if grip[2] > 0.3:
+                self.phase = 5
+        else:                                   # push blocks into the chest
+            a = np.zeros(3)
+            for i in range(nb):
+                if np.linalg.norm(ag[i][:2] - dg[i][:2]) > 0.025:
+                    a = push_step(grip, ag[i], dg[i])
+                    break
+        return a.astype(np.float32)
+
+
+class ChestPickExpert:
+    """chest_pick_and_place (up_sliding lid): pinch-push the lid handle -x
+    to open, then grasp each block and drop it over the chest centre."""
+
+    def __init__(self, nb):
+        self.nb = nb
+        self.reset()
+
+    def reset(self):
+        self.phase = 0
+
+    def __call__(self, obs):
+        nb = self.nb
+        grip = obs['policy_state'][:3]
+        closeness = obs['policy_state'][3]
+        door_q = obs['achieved_goal'][0]
+        ag = obs['achieved_goal'][1:1 + 3 * nb].reshape(nb, 3)
+        drop = np.array([-0.648, 0.0, 0.33])
+        a, g = np.zeros(3), -1.0
+        if self.phase == 0:
+            a, g = np.array([0.0, 0.0, 1.0]), 1.0
+            if grip[2] > 0.32:
+                self.phase = 1
+        elif self.phase == 1:                   # above the lid handle
+            tgt = np.array([-0.545, 0.065, 0.34])
+            a, g = _goto(tgt, grip), 1.0
+            if np.linalg.norm(grip[:2] - tgt[:2]) < 0.008:
+                self.phase = 2
+        elif self.phase == 2:                   # descend beside the handle
+            tgt = np.array([-0.545, 0.065, 0.26])
+            a, g = _goto(tgt, grip), 1.0
+            if abs(grip[2] - 0.26) < 0.005:
+                self.phase = 3
+        elif self.phase == 3:                   # sweep -x: lid slides open
+            a, g = np.array([-1.0, 0.0, 0.0]), 1.0
+            if door_q >= 0.092:
+                self.phase = 4
+        elif self.phase == 4:
+            a, g = np.array([1.0, 0.0, 1.0]), -1.0
+            if grip[2] > 0.31:
+                self.phase = 5
+        elif self.phase == 5:                   # above the block
+            block = ag[0]
+            a, g = _goto(block + [0, 0, 0.06], grip, 30), -1.0
+            if (np.linalg.norm(grip[:2] - block[:2]) < 0.01
+                    and grip[2] < block[2] + 0.075):
+                self.phase = 6
+        elif self.phase == 6:                   # descend around the block
+            block = ag[0]
+            a, g = _goto(block, grip, 30), -1.0
+            if np.linalg.norm(grip - ag[0]) < 0.012:
+                self.phase = 7
+        elif self.phase == 7:                   # close the grasp
+            a, g = np.zeros(3), 1.0
+            if closeness < 0.037:
+                self.phase = 8
+        elif self.phase == 8:                   # carry over the chest mouth
+            a, g = _goto(drop, grip), 1.0
+            if np.linalg.norm(grip - drop) < 0.012:
+                self.phase = 9
+        else:                                   # release: block falls in
+            a, g = np.zeros(3), -1.0
+        return np.concatenate([a, [g]]).astype(np.float32)
+
+
+class SlideExpert:
+    """Closed-loop strike expert for the Slide task (joint_control mode).
+
+    Slide goals sit beyond the EE workspace (target range shifted -0.4 m in
+    x, kuka_single_step_base_env.py:66-69), so the puck must be STRUCK and
+    coast over the mu=0.05 long table. The engine's arm servo reproduces
+    Bullet POSITION_CONTROL transients (v* = posGain/dt * err = 15/s * err,
+    kuka.py:282-290): commanding a waypoint ``gap`` metres ahead of the tip
+    sweeps the tip at ~15*gap m/s. Open-loop waypoint schedules therefore
+    whip the tip at several m/s once the arm lags (and launch the puck off
+    the table); this expert paces the strike waypoint against the MEASURED
+    tip position so contact happens at the computed strike speed, then holds
+    at the release point and lets the puck coast.
+    """
+
+    MU_G = 0.05 * 9.81          # long-table friction * g (long_table.urdf)
+    Z_STRIKE = 0.180            # finger pads cover the puck side (r=0.03)
+    X_MIN, X_MAX = -0.665, -0.375
+    Y_MAX = 0.195               # EE workspace (kuka.py:40-41) minus margin
+
+    def __init__(self, ik_solve, rest_pose):
+        self._ik = ik_solve     # (target_xyz, q_init) -> q (7,)
+        self._rest = np.asarray(rest_pose, np.float64)
+        self.reset()
+
+    def reset(self):
+        self.jt = self._rest.copy()      # mirror of the env's joint target
+        self.phase = 0
+        self.plan = None
+        self.prev_puck = None
+        self.still = 0
+        self.strikes = 0
+
+    # ------------------------------------------------------------------ plan
+    def _inside(self, p):
+        return (self.X_MIN <= p[0] <= self.X_MAX
+                and -self.Y_MAX <= p[1] <= self.Y_MAX)
+
+    # ------------------------------------------------------------------ step
+    def __call__(self, obs):
+        """Phases: 0 rise, 1 traverse above the start, 2 descend behind the
+        puck, 3 paced strike along the goal line, 4 hold while the puck
+        coasts (+ re-plan from the new position when it stalls short but is
+        still inside the strikeable box). Diagonal strikes drift laterally
+        off the narrow fixed-yaw paddle face (the reference's paddle is no
+        different), so far goals resolve to near-misses on some seeds — the
+        acceptance test asserts aggregate progress + wins, not perfection."""
+        tip = obs['observation'][7:10]
+        puck = obs['achieved_goal']
+        goal = obs['desired_goal']
+        q = obs['observation'][:7]
+
+        if self.plan is None:
+            axis = goal[:2] - puck[:2]
+            dist = float(np.linalg.norm(axis))
+            axis = axis / max(dist, 1e-6)
+            s_room = 0.0                         # stroke room inside the box
+            while (self._inside(puck[:2] + axis * (s_room + 0.01))
+                   and s_room < 0.6):
+                s_room += 0.01
+            ft = 0.06                            # full-speed follow-through
+            d_coast = max(dist - s_room - ft - 0.05, 0.0)
+            # 0.92: bias slightly under — the release impulse tends to run
+            # a little hot, and an undershoot lands nearer the line
+            v = min(np.sqrt(2.0 * self.MU_G * d_coast) * 0.92 + 0.02, 0.45)
+            stop = min(s_room + ft, max(dist - 0.01, 0.01))
+            start = np.array([*(puck[:2] - axis * 0.11), self.Z_STRIKE])
+            self.plan = dict(p0=puck[:2].copy(), axis=axis, v=v, stop=stop,
+                             start=start,
+                             q_start=np.asarray(self._ik(start, self._rest)),
+                             gap=float(np.clip(v / 15.0, 0.012, 0.03)))
+            self.q_up = np.asarray(self._ik(
+                np.array([tip[0], tip[1], 0.33]), self._rest))
+            self.q_hi = np.asarray(self._ik(
+                np.array([*start[:2], 0.33]), self.q_up))
+        pl = self.plan
+
+        # puck motion bookkeeping (for re-plan decisions; only meaningful
+        # once the strike has begun — during the approach the puck is still)
+        if self.prev_puck is not None and self.phase >= 3:
+            self.still = (self.still + 1
+                          if np.linalg.norm(puck[:2] - self.prev_puck[:2])
+                          < 5e-4 else 0)
+        self.prev_puck = puck.copy()
+
+        if self.phase == 0:                      # rise
+            des = self.q_up
+            if np.max(np.abs(self.q_up - q)) < 0.05:
+                self.phase = 1
+        if self.phase == 1:                      # traverse above the start
+            des = self.q_hi
+            if np.max(np.abs(self.q_hi - q)) < 0.03:
+                self.phase = 2
+        if self.phase == 2:                      # descend behind the puck
+            des = pl['q_start']
+            if np.max(np.abs(pl['q_start'] - q)) < 0.015:
+                self.phase = 3
+        if self.phase == 3:                      # paced strike on the line
+            s_tip = float(np.dot(tip[:2] - pl['p0'], pl['axis']))
+            # project onto the strike line (the target carries NO lateral
+            # component, re-centering the tip on the line every step) and
+            # never command past the stroke end
+            s_cmd = min(s_tip + pl['gap'], pl['stop'] + 0.005)
+            tgt = pl['p0'] + pl['axis'] * s_cmd
+            self.q_strike = np.asarray(self._ik(
+                np.array([*tgt, self.Z_STRIKE]), q.astype(np.float64)))
+            des = self.q_strike
+            s_puck = float(np.dot(puck[:2] - pl['p0'], pl['axis']))
+            # release: puck pushed far enough, or the tip has overrun the
+            # planned stroke (it rides ~0.046 behind the puck centre)
+            if s_puck >= pl['stop'] or s_tip >= pl['stop'] + 0.02:
+                self.phase = 4
+        if self.phase == 4:                      # hold; let the puck coast
+            des = getattr(self, 'q_strike', pl['q_start'])
+            # next stage / re-strike once the puck settles, if reachable
+            if (self.still >= 3 and self.strikes < 4
+                    and np.linalg.norm(puck[:2] - goal[:2]) > 0.045
+                    and self._inside(puck[:2])):
+                self.strikes += 1
+                self.plan = None
+                self.phase = 0
+                self.prev_puck = None
+                self.still = 0
+                des = self.q_up
+        a = np.clip((des - self.jt) / 0.05, -1.0, 1.0)
+        self.jt = self.jt + a * 0.05
+        return a.astype(np.float32)
+
+
+def run_episodes(env, policy, n_episodes=3, max_steps=100):
+    """Roll scripted episodes; returns the number of wins."""
+    wins = 0
+    for _ in range(n_episodes):
+        obs = env.reset()
+        if hasattr(policy, 'reset'):
+            policy.reset()
+        for _ in range(max_steps):
+            obs, reward, done, info = env.step(policy(obs))
+            if info['goal_achieved']:
+                wins += 1
+                break
+    return wins

@@ -50,9 +50,8 @@ def test_pallas_engine_matches_xla():
     M = 16
 
     def xla_n(s, c):
-        fp = fk.ee_frames(s.q, s.fq)['finger_pos']
         for _ in range(n_sub):
-            s, fp = xeng.substep(s, c, fp)
+            s = xeng.substep(s, c)
         return s
 
     x_out = jax.jit(jax.vmap(xla_n))(

@@ -46,7 +46,9 @@ def _mk_state(spec, N, key):
 
 @pytest.mark.skipif(not ON_TPU, reason='interpret mode is intractably slow '
                     'for the segment-sliced kernel; CPU uses the XLA fallback')
-@pytest.mark.parametrize('nb,chest', [(2, False), (2, True)])
+@pytest.mark.parametrize('nb,chest', [(2, False), (3, False), (4, False),
+                                      (5, False), (2, True), (3, True),
+                                      (4, True), (5, True)])
 def test_multibody_matches_xla(nb, chest):
     n_sub = 100 if ON_TPU else 2
     spec = S.multi_step_scene(nb, chest)
@@ -63,9 +65,8 @@ def test_multibody_matches_xla(nb, chest):
     def xla_n(s, c):
         if n_sub == 100:
             return xeng.control_step(s, c)   # scan-based: sane compile time
-        fp = fk.ee_frames(s.q, s.fq)['finger_pos']
         for _ in range(n_sub):
-            s, fp = xeng.substep(s, c, fp)
+            s = xeng.substep(s, c)
         return s
 
     x_out = jax.jit(jax.vmap(xla_n))(
@@ -77,6 +78,37 @@ def test_multibody_matches_xla(nb, chest):
     # door panels; with blocks spawned away from the chest the trajectories
     # stay within solver tolerance
     for f in ['q', 'fq', 'body_pos', 'body_quat', 'body_linvel', 'door_q']:
+        a = np.asarray(getattr(x_out, f))
+        b = np.asarray(getattr(p_out, f))[:M]
+        np.testing.assert_allclose(a, b, atol=5e-3, err_msg=f)
+
+
+@pytest.mark.skipif(not ON_TPU, reason='interpret mode is intractably slow '
+                    'for the segment-sliced kernel; CPU uses the XLA fallback')
+@pytest.mark.parametrize('scene', ['insertion', 'shape_assemble'])
+def test_multibody_matches_xla_other_scenes(scene):
+    """Kernel parity on the remaining production scenes (pinned slot body,
+    multi-geom heavy objects)."""
+    spec = (S.insertion_scene() if scene == 'insertion'
+            else S.shape_assemble_scene(('slot', 'cube')))
+    xeng = D.Engine(spec)
+    peng = PallasMultiBodyEngine(spec)
+    st = _mk_state(spec, TILE, jax.random.PRNGKey(1))
+    # drop the bodies near the workspace plane (z=0.02 scenes)
+    bp = np.asarray(st.body_pos)
+    bp[:, :, 2] = np.abs(bp[:, :, 2] - 0.21) + spec.plane_z + 0.04
+    st = st._replace(body_pos=jnp.asarray(bp))
+    q0 = jnp.tile(jnp.asarray(KM.KUKA_REST_POSE, jnp.float32), (TILE, 1))
+    ctrl = D.Controls(q_target=q0,
+                      f_target=jnp.full((TILE, 2), 0.035, jnp.float32),
+                      door_motor_on=jnp.zeros((TILE,), bool),
+                      door_target=jnp.zeros((TILE,)))
+    M = 4
+    x_out = jax.jit(jax.vmap(xeng.control_step))(
+        jax.tree_util.tree_map(lambda x: x[:M], st),
+        jax.tree_util.tree_map(lambda x: x[:M], ctrl))
+    p_out = jax.jit(peng.control_step)(st, ctrl)
+    for f in ['q', 'fq', 'body_pos', 'body_quat', 'body_linvel']:
         a = np.asarray(getattr(x_out, f))
         b = np.asarray(getattr(p_out, f))[:M]
         np.testing.assert_allclose(a, b, atol=5e-3, err_msg=f)
