@@ -21,13 +21,64 @@ import numpy as np
 PER_CHIP_BASELINE = 250_000.0
 
 
+def multichip(args):
+    """Aggregate env-steps/s over an N-device ('env',) mesh via the sharded
+    rollout driver (the >=1M aggregate north star, BASELINE.md:33).
+
+    On single-chip hosts, pass --force-devices N to bench the sharded path
+    over N virtual CPU devices instead (sets
+    --xla_force_host_platform_device_count before jax initialises)."""
+    from pybullet_multigoal_gym_tpu.config import EnvConfig
+    from pybullet_multigoal_gym_tpu.parallel import make_mesh, ShardedRollout
+
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    num_envs = args.num_envs - args.num_envs % n_dev
+    r = ShardedRollout(EnvConfig(task=args.task), num_envs=num_envs,
+                       mesh=mesh)
+    key = jax.random.PRNGKey(0)
+    state = r.reset(key)
+    # warmup/compile (host fetch forces remote completion)
+    state, metrics = r.rollout(state, None, jax.random.fold_in(key, 1),
+                               args.warmup)
+    np.asarray(metrics.mean_reward)
+
+    t0 = time.perf_counter()
+    state, metrics = r.rollout(state, None, jax.random.fold_in(key, 2),
+                               args.steps)
+    np.asarray(metrics.mean_reward)
+    dt = time.perf_counter() - t0
+
+    steps_per_s = num_envs * args.steps / dt
+    print(json.dumps({
+        'metric': 'aggregate_env_steps_per_s_%s_%d_%ddev'
+                  % (args.task, num_envs, n_dev),
+        'value': round(steps_per_s, 1),
+        'unit': 'env-steps/s',
+        'vs_baseline': round(steps_per_s / (PER_CHIP_BASELINE * n_dev), 4),
+    }))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--task', default='push')
     ap.add_argument('--num-envs', type=int, default=4096)
     ap.add_argument('--steps', type=int, default=50)
     ap.add_argument('--warmup', type=int, default=3)
+    ap.add_argument('--multichip', action='store_true',
+                    help='aggregate over all devices via ShardedRollout')
+    ap.add_argument('--force-devices', type=int, default=0,
+                    help='virtual CPU device count (multichip testing)')
     args = ap.parse_args()
+
+    if args.force_devices:
+        import os
+        os.environ['XLA_FLAGS'] = (os.environ.get('XLA_FLAGS', '')
+                                   + ' --xla_force_host_platform_device_count=%d'
+                                   % args.force_devices)
+        jax.config.update('jax_platforms', 'cpu')
+    if args.multichip:
+        return multichip(args)
 
     from pybullet_multigoal_gym_tpu.config import EnvConfig
     from pybullet_multigoal_gym_tpu.envs.vec_env import VecMGEnv
