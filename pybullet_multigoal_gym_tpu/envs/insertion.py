@@ -44,7 +44,7 @@ class KukaInsertionEnv(KukaEnvBase):
 
     def _build_engine(self):
         # scene body order: (rectangle, slot); env object order: (slot, rectangle)
-        return D.Engine(S.insertion_scene())
+        return D.Engine(S.insertion_scene(), gripper=self.cfg.gripper)
 
     def _body_index(self, key):
         # insertion_scene bodies: 0=rectangle (dynamic), 1=slot (pinned)
@@ -141,7 +141,7 @@ class KukaInsertionEnv(KukaEnvBase):
             self._pallas_engine = PallasMultiBodyEngine(
                 self.engine.spec, solver_iters=self.engine.solver_iters,
                 erp=self.engine.erp, slop=self.engine.slop,
-                interpret=interpret)
+                interpret=interpret, gripper=self.cfg.gripper)
         return self._pallas_engine
 
     # -------------------------------------------------------------------- obs
@@ -150,6 +150,7 @@ class KukaInsertionEnv(KukaEnvBase):
         cfg = self.cfg
         ph = state.phys
         rs = R.robot_state(ph.q, ph.qd, ph.fq, ph.fqd, grasping=True,
+                           gripper=cfg.gripper,
                            ee_contact_force=ph.ee_contact_force)
         gripper_xyz = rs['gripper_xyz']
         fx = rs['ee_joint_force']

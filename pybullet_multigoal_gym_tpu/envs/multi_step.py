@@ -85,7 +85,8 @@ class KukaMultiBlockEnv(KukaEnvBase):
     def _build_engine(self):
         return D.Engine(S.multi_step_scene(self.cfg.num_block,
                                            self.cfg.has_chest,
-                                           self.cfg.chest_door))
+                                           self.cfg.chest_door),
+                        gripper=self.cfg.gripper)
 
     @property
     def goal_dim(self):
@@ -164,7 +165,7 @@ class KukaMultiBlockEnv(KukaEnvBase):
             self._pallas_engine = PallasMultiBodyEngine(
                 self.engine.spec, solver_iters=self.engine.solver_iters,
                 erp=self.engine.erp, slop=self.engine.slop,
-                interpret=interpret)
+                interpret=interpret, gripper=self.cfg.gripper)
         return self._pallas_engine
 
     # ----------------------------------------------------------- sub-goal API
@@ -182,7 +183,8 @@ class KukaMultiBlockEnv(KukaEnvBase):
         because goal regeneration and door hold-open mutate env state."""
         cfg = self.cfg
         ph = state.phys
-        rs = R.robot_state(ph.q, ph.qd, ph.fq, ph.fqd, cfg.grasping)
+        rs = R.robot_state(ph.q, ph.qd, ph.fq, ph.fqd, cfg.grasping,
+                           gripper=cfg.gripper)
         gripper_xyz = rs['gripper_xyz']
         gvel = rs['gripper_vel_xyz']
         grpy_vel = rs['gripper_vel_rpy']

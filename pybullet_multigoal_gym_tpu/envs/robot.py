@@ -10,18 +10,20 @@ from pybullet_multigoal_gym_tpu.model import kuka_model as KM
 from pybullet_multigoal_gym_tpu.ops import fk
 
 
-def robot_state(q, qd, fq, fqd, grasping: bool, ee_contact_force=None):
+def robot_state(q, qd, fq, fqd, grasping: bool, ee_contact_force=None,
+                gripper: str = 'parallel_jaw'):
     """Returns a dict mirroring calc_robot_state's tuple fields.
 
     gripper_xyz / rpy: tip pose (rpy in PyBullet euler convention,
     robot_bases.py:117-118); velocities from the analytic Jacobian;
-    finger closeness = distance between the two finger-tab links;
+    finger closeness = distance between the two finger-tab links (valid for
+    both grippers, kuka.py:234-238);
     gripper_finger_vel = (base_vel - finger_tab_vel)[y] (kuka.py:240-242).
     """
-    frames = fk.ee_frames(q, fq)
+    frames = fk.ee_frames(q, fq, gripper=gripper)
     pos, rot = fk.link_frames(q)
     p7, r7 = pos[..., 6, :], rot[..., 6, :]
-    jac = fk.tip_jacobian(q)                       # (...,6,7) at the tip point
+    jac = fk.tip_jacobian(q, gripper)              # (...,6,7) at the tip point
     v_tip = jnp.einsum('...ij,...j->...i', jac[..., :3, :], qd)
     omega = jnp.einsum('...ij,...j->...i', jac[..., 3:, :], qd)
 
@@ -35,7 +37,7 @@ def robot_state(q, qd, fq, fqd, grasping: bool, ee_contact_force=None):
         # world velocity of a point rigidly attached at p: v_tip + omega x (p - tip)
         base_v = v_tip + jnp.cross(omega, frames['gripper_base'] - tip)
         axis_w = quatm.rotate(frames['finger_rot'],
-                              jnp.asarray(KM.FINGER_AXIS, q.dtype))
+                              frames['finger_axis_l7'])
         tab1_v = (v_tip + jnp.cross(omega, tab[..., 0, :] - tip)
                   + axis_w[..., 0, :] * fqd[..., 0:1])
         finger_vel = (base_v - tab1_v)[..., 1:2]
@@ -62,7 +64,9 @@ def robot_state(q, qd, fq, fqd, grasping: bool, ee_contact_force=None):
         # constant world -z force; rotating it into the link-7 sensor frame
         # makes the reading orientation-dependent exactly as Bullet's
         # joint-frame sensor is, clipped to +-50 N at the consumer.
-        g_load = KM.EE_SUBTREE_MASS * 9.81
+        subtree = (KM.ROBOTIQ_EE_SUBTREE_MASS if gripper == 'robotiq85'
+                   else KM.EE_SUBTREE_MASS)
+        g_load = subtree * 9.81
         f_world = ee_contact_force + jnp.asarray([0.0, 0.0, -g_load], q.dtype)
         f_local = quatm.rotate_inv(r7, f_world)
         out['ee_joint_force'] = jnp.clip(f_local, -50.0, 50.0)

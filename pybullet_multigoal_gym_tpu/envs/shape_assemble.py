@@ -46,7 +46,8 @@ class KukaPrimitiveEnv(KukaEnvBase):
         self.obj_z = 0.035      # object_initial_pos (kuka_shape_assemble_base_env.py:55-61)
 
     def _build_engine(self):
-        return D.Engine(S.shape_assemble_scene(self.cfg.manipulated_object_keys))
+        return D.Engine(S.shape_assemble_scene(self.cfg.manipulated_object_keys),
+                        gripper=self.cfg.gripper)
 
     @property
     def goal_dim(self):
@@ -149,7 +150,7 @@ class KukaPrimitiveEnv(KukaEnvBase):
             self._pallas_engine = PallasMultiBodyEngine(
                 self.engine.spec, solver_iters=self.engine.solver_iters,
                 erp=self.engine.erp, slop=self.engine.slop,
-                interpret=interpret)
+                interpret=interpret, gripper=self.cfg.gripper)
         return self._pallas_engine
 
     def get_pallas_ik_primitive(self, interpret=None):
@@ -157,7 +158,8 @@ class KukaPrimitiveEnv(KukaEnvBase):
         if getattr(self, '_pallas_ik_prim', None) is None:
             # waypoint jumps are ~0.1 m (cold-ish): more iterations than the
             # warm-started per-step IK
-            self._pallas_ik_prim = PallasIK(num_iters=16, interpret=interpret)
+            self._pallas_ik_prim = PallasIK(num_iters=16, interpret=interpret,
+                                            gripper=self.cfg.gripper)
         return self._pallas_ik_prim
 
     def execute_primitive_batched(self, phys, wps, num_envs):
@@ -192,7 +194,8 @@ class KukaPrimitiveEnv(KukaEnvBase):
 
         def run_waypoint(ph, wp):
             q_t = ik.solve(wp, q_init=ph.q,
-                           rest_pose=jnp.asarray(self.rest_pose))
+                           rest_pose=jnp.asarray(self.rest_pose),
+                           gripper=self.cfg.gripper)
             ctrl = self._controls(q_t, self.gripper_abs_joint_limit)
             ph = self.engine.control_step(ph, ctrl, n_sim_calls=20)
             return ph, None

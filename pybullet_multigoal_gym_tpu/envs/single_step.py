@@ -58,16 +58,19 @@ class KukaEnvBase:
         self.gripper_grasp_block_state = (KM.ROBOTIQ_GRASP_BLOCK_STATE
                                           if cfg.gripper == 'robotiq85'
                                           else KM.PARALLEL_JAW_GRASP_BLOCK_STATE)
-        # The physics engine models a pinch pair; the Robotiq's main joint
-        # value is mapped linearly onto the equivalent pad separation.
+        # engines consume the gripper's own joint coordinates directly
+        # (prismatic metres for the jaw, Robotiq closure radians); kept for
+        # the render layer's approximate finger visuals.
         self.finger_scale = (KM.FINGER_LIMIT / KM.ROBOTIQ_JOINT_LIMIT
                              if cfg.gripper == 'robotiq85' else 1.0)
         # rest pose: reference re-derives it by IK from the canonical pose
         # (kuka.py:158-160)
         rest = ik.solve(jnp.asarray(tip_init, F32),
-                        q_init=jnp.asarray(KM.KUKA_REST_POSE, F32))
+                        q_init=jnp.asarray(KM.KUKA_REST_POSE, F32),
+                        gripper=cfg.gripper)
         self.rest_pose = np.asarray(rest, np.float32)
-        tip_rest, _ = fk.tip_pose(jnp.asarray(self.rest_pose))
+        tip_rest, _ = fk.tip_pose(jnp.asarray(self.rest_pose),
+                                  gripper=cfg.gripper)
         self.tip_rest = np.asarray(tip_rest, np.float32)
 
         self.engine = self._build_engine()
@@ -82,8 +85,9 @@ class KukaEnvBase:
 
     # -- common pieces -------------------------------------------------------
     def _grip_target(self, grip_ctrl):
-        """Map an abstract grip joint value to the engine's pad joints."""
-        return jnp.full((2,), 1.0, F32) * grip_ctrl * self.finger_scale
+        """Both finger joints track the same grip value (the reference's
+        mimic multipliers reduce to this for the pad DoFs, kuka.py:65-73)."""
+        return jnp.full((2,), 1.0, F32) * grip_ctrl
 
     def _controls(self, q_target, grip_ctrl, door_motor_on=None,
                   door_target=None):
@@ -113,11 +117,13 @@ class KukaEnvBase:
                 tq = quatm.euler_zyz_to_quat(ee_rot)
                 q_target = ik.solve(ee_target, target_quat=tq,
                                     q_init=state.phys.q,
-                                    rest_pose=jnp.asarray(self.rest_pose))
+                                    rest_pose=jnp.asarray(self.rest_pose),
+                                    gripper=cfg.gripper)
             else:
                 ee_rot = state.ee_target_rot
                 q_target = ik.solve(ee_target, q_init=state.phys.q,
-                                    rest_pose=jnp.asarray(self.rest_pose))
+                                    rest_pose=jnp.asarray(self.rest_pose),
+                                    gripper=cfg.gripper)
             joint_target = state.joint_target
         return q_target, state._replace(ee_target=ee_target,
                                         ee_target_rot=ee_rot,
@@ -152,14 +158,17 @@ class KukaEnvBase:
             # action, kuka.py:208-220) — 8 DLS iterations reach the same
             # <1e-6 m residual Bullet's residualThreshold=1e-5 early-exit
             # does; the reference's 40 is a cold-start worst-case cap
-            self._pallas_ik = PallasIK(num_iters=8, interpret=interpret)
+            self._pallas_ik = PallasIK(num_iters=8, interpret=interpret,
+                                       gripper=self.cfg.gripper)
         return self._pallas_ik
 
     def _reset_phys(self, body_pos, body_quat=None):
         eng = self.engine
+        # fingers reset TO the joint limit, i.e. fully closed — the reference
+        # does set_finger_joint_state(gripper_abs_joint_limit) (kuka.py:161)
         st = eng.init_state(q=jnp.asarray(self.rest_pose),
                             body_pos=body_pos, body_quat=body_quat,
-                            fq=KM.FINGER_LIMIT)
+                            fq=self.gripper_abs_joint_limit)
         return st
 
     def _base_env_state(self, phys, key, desired_goal, spawn_body_pos=None,
@@ -196,7 +205,8 @@ class KukaSingleStepEnv(KukaEnvBase):
 
     def _build_engine(self):
         return D.Engine(S.single_step_scene(self.cfg.has_obj,
-                                            self.cfg.table_type))
+                                            self.cfg.table_type),
+                        gripper=self.cfg.gripper)
 
     def _block_z(self):
         # object_initial_pos['block'][2] (kuka_single_step_base_env.py:50-56)
@@ -271,7 +281,7 @@ class KukaSingleStepEnv(KukaEnvBase):
             self._pallas_engine = PallasEngine(
                 self.engine.spec, solver_iters=self.engine.solver_iters,
                 erp=self.engine.erp, slop=self.engine.slop,
-                interpret=interpret)
+                interpret=interpret, gripper=self.cfg.gripper)
         return self._pallas_engine
 
     def step(self, state: core.EnvState, action):
@@ -290,7 +300,8 @@ class KukaSingleStepEnv(KukaEnvBase):
         """Mirrors `kuka_single_step_base_env.py:193-235` field-for-field."""
         cfg = self.cfg
         ph = state.phys
-        rs = R.robot_state(ph.q, ph.qd, ph.fq, ph.fqd, cfg.grasping)
+        rs = R.robot_state(ph.q, ph.qd, ph.fq, ph.fqd, cfg.grasping,
+                           gripper=cfg.gripper)
         gripper_xyz = rs['gripper_xyz']
         policy_state = state_vec = gripper_xyz
         achieved_goal = gripper_xyz

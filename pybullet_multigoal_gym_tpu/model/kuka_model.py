@@ -58,10 +58,24 @@ JOINT_DAMPING = 0.5           # URDF <dynamics damping="0.5"/>
 # Link masses, kg (iiwa14_parallel_jaw.urdf inertial blocks).
 LINK_MASS = np.array([5.0, 4.0, 4.0, 3.0, 2.7, 1.7, 1.8, 0.3], dtype=np.float64)
 
-# Fixed end-effector frames relative to link 7 (URDF:311-398).
+# Fixed end-effector frames relative to link 7 (URDF:311-398). The tip and
+# hand-cam frames are GRIPPER-SPECIFIC: the Robotiq body is longer, so its
+# URDF puts the tip at +0.18 z (iiwa14_robotiq85.urdf:311-315) vs the
+# parallel jaw's +0.12 (iiwa14_parallel_jaw.urdf:311-315) — IK targets,
+# observations and EE bounds all follow the loaded gripper's tip.
 TIP_OFFSET = np.array([0.0, 0.0, 0.12], dtype=np.float64)
 HAND_CAM_OFFSET = np.array([0.2, 0.0, 0.0], dtype=np.float64)
 GRIPPER_BASE_OFFSET = np.array([0.0, 0.0, 0.055], dtype=np.float64)
+ROBOTIQ_TIP_OFFSET = np.array([0.0, 0.0, 0.18], dtype=np.float64)
+ROBOTIQ_HAND_CAM_OFFSET = np.array([0.22, 0.0, -0.1], dtype=np.float64)
+
+
+def tip_offset_for(gripper: str):
+    return ROBOTIQ_TIP_OFFSET if gripper == 'robotiq85' else TIP_OFFSET
+
+
+def hand_cam_offset_for(gripper: str):
+    return ROBOTIQ_HAND_CAM_OFFSET if gripper == 'robotiq85' else HAND_CAM_OFFSET
 
 # Parallel-jaw gripper (URDF:418-455): two prismatic fingers, range 0..0.035,
 # axes (0,-1,0) and (0,1,0) in the gripper-base frame, effort 20.
@@ -81,14 +95,102 @@ FINGER_TAB_OFFSET = np.array([[0.0, -0.005, 0.0], [0.0, 0.005, 0.0]], dtype=np.f
 FINGER_HALF_EXTENTS = np.array([0.0125, 0.005, 0.04], dtype=np.float64)
 
 # Robotiq-85 gripper constants surfaced by the reference robot layer
-# (kuka.py:54-65). The TPU engine models the Robotiq's *finger pads* as an
-# equivalent pair of pinch surfaces whose separation follows the main finger
-# joint, preserving the action/observation contract.
+# (kuka.py:54-65).
 ROBOTIQ_JOINT_LIMIT = 0.804
 ROBOTIQ_GRASP_BLOCK_STATE = 0.545
 ROBOTIQ_MIMIC_MULTIPLIER = np.array([1.0, 1.0, 1.0, -1.0, 1.0, -1.0], dtype=np.float64)
 PARALLEL_JAW_GRASP_BLOCK_STATE = 0.02
 PARALLEL_JAW_MIMIC_MULTIPLIER = np.array([1.0, 1.0], dtype=np.float64)
+
+# ---------------------------------------------------------------------------
+# Robotiq-85 mimic linkage (iiwa14_robotiq85.urdf:394-641).
+#
+# Kinematics: each finger is a parallelogram four-bar. The driven chain is
+#   gripper_base -> inner_knuckle (revolute theta, mimic of finger_joint,
+#                   urdf:513-527) -> finger_tip (revolute -theta, urdf:565-579)
+# so the finger-tip link (the contact PAD) keeps a CONSTANT orientation
+# relative to the gripper base and its position moves on a circle of radius
+# |ROBOTIQ_ARM_T| around the inner-knuckle pivot. Every point of the pad
+# therefore shares one velocity d(pad)/d(theta) — exactly the uniform
+# "finger axis" abstraction the engine's parallel-jaw fingers already use,
+# just theta-dependent.
+#
+# The gripper base frame B is link7 * (xyz (0,0,0.045), rpy (0,-pi/2,0))
+# (urdf:394-398): x_B = +z_link7 (points out of the flange), y_B = y_link7,
+# z_B = -x_link7. The linkage lives in the (x_B, y_B) plane; finger 1 is the
+# +y_B side (its joint frames are flipped rpy (pi,0,0), urdf:417-421,513-517,
+# which mirrors y and reverses the rotation sense, so both fingers close
+# toward y_B = 0 as theta grows).
+#
+# In-base-plane coordinates (x_B, y_B) with s = +1 (finger 1) / -1 (finger 2):
+#   inner-knuckle pivot  o_f = (0.06142, s*0.0127)          (urdf:517,525)
+#   tip-joint arm        t(theta) = Rz(s*theta) applied to (0.04304, s*-0.0376)
+#                                                           (urdf:569,577)
+#   pad tab (face point) tab_f = o_f + t(theta) + (0.05, s*0.0075)
+#                                                           (urdf:633-641)
+# giving the scalar forms used by the engines:
+#   tab_x(theta)    = 0.11142 + 0.04304*cos(theta) + 0.0376*sin(theta)
+#   tab_y(theta, s) = s * (0.0127 + 0.0376*cos(theta) - 0.04304*sin(theta)
+#                          - 0.0075)    # the tab sits toward the centreline
+#   d tab_x/d theta = -0.04304*sin(theta) + 0.0376*cos(theta)
+#   d tab_y/d theta = -s * (0.04304*cos(theta) + 0.0376*sin(theta))
+# Checks: pad gap 2*|tab_y| = 85.7 mm at theta=0 (the "85" in Robotiq-85),
+# 30.1 mm at the reference's grasp_block_state 0.545 (a 30 mm block), 0 at
+# the 0.804 limit. Verified against the URDF chain in tests/test_robotiq.py.
+ROBOTIQ_BASE_OFFSET = np.array([0.0, 0.0, 0.045], dtype=np.float64)
+ROBOTIQ_INNER_X = 0.06142
+ROBOTIQ_INNER_Y = 0.0127
+ROBOTIQ_ARM_TX = 0.04303959807
+ROBOTIQ_ARM_TY = 0.03759940821     # magnitude; applied as s*-ty
+ROBOTIQ_TAB_X = 0.05
+ROBOTIQ_TAB_Y = 0.0075             # applied as s*-ty (toward the centreline)
+# Pad collision box half extents, expressed in LINK-7 axes (x_l7 = -z_B is
+# the pad width, y_l7 = y_B the pad thickness, z_l7 = x_B the pad length):
+# the finger-tip collision mesh is ~22 x 11 x 36 mm.
+ROBOTIQ_PAD_HALF = np.array([0.011, 0.0055, 0.018], dtype=np.float64)
+# Generalised closure-DoF dynamics: reflected inertia m*|t|^2 (with the same
+# URDF contact inertia_scaling as the jaw fingers) and the reference's 50
+# position-control effort on the driven joints (kuka.py:299), velocity cap 2
+# rad/s (urdf:422).
+ROBOTIQ_ARM_LEN = float(np.hypot(ROBOTIQ_ARM_TX, ROBOTIQ_ARM_TY))
+ROBOTIQ_FINGER_INERTIA = FINGER_MASS * FINGER_INERTIA_SCALING * ROBOTIQ_ARM_LEN ** 2
+ROBOTIQ_PD_FORCE = 50.0            # N*m about the closure DoF
+ROBOTIQ_VEL_LIMIT = 2.0            # rad/s
+# Distal subtree past the joint-7 force sensor (iiwa14_robotiq85.urdf
+# inertials): link_7 0.3 + base 0.636951 + 2 x (knuckle 0.018491 + finger
+# 0.027309 + inner knuckle 0.029951 + tip 0.019555).
+ROBOTIQ_EE_SUBTREE_MASS = 0.3 + 0.636951 + 2.0 * (
+    0.018491 + 0.027309 + 0.029951 + 0.019555)
+
+
+def robotiq_pad_kinematics(theta, xp=np):
+    """Pad tab position / pad box centre / closure velocity, LINK-7 frame.
+
+    Args:
+      theta: (..., 2) closure angles for (finger1, finger2), radians.
+      xp: numpy or jax.numpy.
+    Returns dict of (..., 2, 3) arrays: 'tab' (pad face reference points,
+    the closeness endpoints), 'center' (pad collision box centres), 'vel'
+    (world-frame-free d(pad)/d(theta), to be rotated by the link-7 quat).
+    Mapping B -> link7: (x_B, y_B) -> (z_l7, y_l7), plus the base offset.
+    """
+    s = xp.asarray([1.0, -1.0], dtype=theta.dtype if hasattr(theta, 'dtype')
+                   else np.float64)
+    ct, st = xp.cos(theta), xp.sin(theta)
+    tab_x = ROBOTIQ_INNER_X + ROBOTIQ_ARM_TX * ct + ROBOTIQ_ARM_TY * st \
+        + ROBOTIQ_TAB_X
+    tab_y = s * (ROBOTIQ_INNER_Y + ROBOTIQ_ARM_TY * ct
+                 - ROBOTIQ_ARM_TX * st - ROBOTIQ_TAB_Y)
+    dx = -ROBOTIQ_ARM_TX * st + ROBOTIQ_ARM_TY * ct
+    dy = -s * (ROBOTIQ_ARM_TX * ct + ROBOTIQ_ARM_TY * st)
+    zero = xp.zeros_like(tab_x)
+    base_z = ROBOTIQ_BASE_OFFSET[2]
+    tab = xp.stack([zero, tab_y, base_z + tab_x], axis=-1)
+    # box centre: pushed out of the face by half the pad thickness
+    center = xp.stack([zero, tab_y + s * ROBOTIQ_PAD_HALF[1],
+                       base_z + tab_x], axis=-1)
+    vel = xp.stack([zero, dy, dx], axis=-1)
+    return {'tab': tab, 'center': center, 'vel': vel}
 
 # Poses used by the reference robot layer (kuka.py:27-28).
 KUKA_REST_POSE = np.array(

@@ -92,7 +92,7 @@ class Engine:
 
     def __init__(self, spec: S.SceneSpec, solver_iters: int = 8,
                  erp: float = 0.2, slop: float = 5e-4,
-                 arm_collision: bool = True):
+                 arm_collision: bool = True, gripper: str = 'parallel_jaw'):
         # solver_iters: Bullet runs 5 Gauss-Seidel iterations
         # (base_env.py:216); this mass-splitting Jacobi solver converges a
         # little slower per iteration, 8 keeps grasp/tower parity with margin
@@ -157,7 +157,23 @@ class Engine:
             self.door_geom_half = np.asarray(self.door.geom_half, np.float32).reshape(-1, 3)
             self.door_geom_pos = np.asarray(self.door.geom_pos, np.float32).reshape(-1, 3)
             self.door_inv_mass = 1.0 / max(self.door.mass, 0.25)
-        self.finger_mass = KM.FINGER_MASS * KM.FINGER_INERTIA_SCALING
+        # gripper model: prismatic jaw pads, or the Robotiq-85 mimic linkage
+        # (pads on parallelogram four-bars; fq = closure angle). Both reduce
+        # to "box pad + uniform velocity direction per unit fqd", so only the
+        # constants and the pad FK differ (KM.robotiq_pad_kinematics).
+        self.gripper = gripper
+        if gripper == 'robotiq85':
+            self.finger_mass = KM.ROBOTIQ_FINGER_INERTIA   # kg m^2 (about theta)
+            self.finger_force = KM.ROBOTIQ_PD_FORCE        # N m
+            self.finger_vel_limit = KM.ROBOTIQ_VEL_LIMIT   # rad/s
+            self.finger_half = np.asarray(KM.ROBOTIQ_PAD_HALF, np.float32)
+            self.fq_lo, self.fq_hi = 0.0, KM.ROBOTIQ_JOINT_LIMIT
+        else:
+            self.finger_mass = KM.FINGER_MASS * KM.FINGER_INERTIA_SCALING
+            self.finger_force = KM.FINGER_PD_FORCE
+            self.finger_vel_limit = FINGER_VEL_LIMIT
+            self.finger_half = np.asarray(KM.FINGER_HALF_EXTENTS, np.float32)
+            self.fq_lo, self.fq_hi = -KM.FINGER_LIMIT, KM.FINGER_LIMIT
         self.arm_inv_inertia = (1.0 / np.asarray(KM.ARM_EFFECTIVE_INERTIA)
                                 ).astype(np.float32)
 
@@ -339,7 +355,7 @@ class Engine:
         geom_c = body_pos[self.geom_body] + quatm.rotate(
             body_quat[self.geom_body], jnp.asarray(self.geom_pos))
         geom_q = body_quat[self.geom_body]
-        fhalf = jnp.asarray(KM.FINGER_HALF_EXTENTS, jnp.float32)
+        fhalf = jnp.asarray(self.finger_half, jnp.float32)
         radii = KM.ARM_SPHERE_RADIUS
         id_q = jnp.array([1.0, 0, 0, 0], jnp.float32)
         if self.door is not None:
@@ -683,12 +699,17 @@ class Engine:
         p7, r7 = link_pos[6], link_rot[6]
         dtp = state.q.dtype
         gbase = p7 + quatm.rotate(r7, jnp.asarray(KM.GRIPPER_BASE_OFFSET, dtp))
-        floc = (jnp.asarray(KM.FINGER_ORIGIN, dtp)
-                + jnp.asarray(KM.FINGER_AXIS, dtp) * state.fq[:, None])
-        finger_pos = gbase[None] + quatm.rotate(r7[None], floc)
         finger_rot = jnp.broadcast_to(r7, (2, 4))
-        finger_axis_w = quatm.rotate(finger_rot,
-                                     jnp.asarray(KM.FINGER_AXIS, jnp.float32))
+        if self.gripper == 'robotiq85':
+            padk = KM.robotiq_pad_kinematics(state.fq, xp=jnp)
+            finger_pos = p7[None] + quatm.rotate(r7[None], padk['center'])
+            finger_axis_w = quatm.rotate(finger_rot, padk['vel'])
+        else:
+            floc = (jnp.asarray(KM.FINGER_ORIGIN, dtp)
+                    + jnp.asarray(KM.FINGER_AXIS, dtp) * state.fq[:, None])
+            finger_pos = gbase[None] + quatm.rotate(r7[None], floc)
+            finger_axis_w = quatm.rotate(finger_rot,
+                                         jnp.asarray(KM.FINGER_AXIS, jnp.float32))
         link_z = quatm.rotate(link_rot, jnp.broadcast_to(
             jnp.array([0.0, 0.0, 1.0], dtp), (7, 3)))
         sphere_pos = (arm_sphere_positions(link_pos, link_rot, dtp)
@@ -696,9 +717,9 @@ class Engine:
 
         # 3. finger servo (PD toward the mimic-multiplied grip target)
         f_err = controls.f_target - state.fq
-        fv_des = jnp.clip(ARM_SERVO_RATE * f_err, -FINGER_VEL_LIMIT,
-                          FINGER_VEL_LIMIT)
-        fdv_max = KM.FINGER_PD_FORCE * dt / self.finger_mass
+        fv_des = jnp.clip(ARM_SERVO_RATE * f_err, -self.finger_vel_limit,
+                          self.finger_vel_limit)
+        fdv_max = self.finger_force * dt / self.finger_mass
         fqd = state.fqd + jnp.clip(fv_des - state.fqd, -fdv_max, fdv_max)
 
         # 4. free bodies: gravity
@@ -744,7 +765,7 @@ class Engine:
                      jnp.asarray(KM.JOINT_LIMIT_UPPER, jnp.float32))
         body_pos = state.body_pos + v_lin * dt
         body_quat = quatm.integrate_angvel(state.body_quat, v_ang, dt)
-        fq = jnp.clip(state.fq + fqd * dt, -KM.FINGER_LIMIT, KM.FINGER_LIMIT)
+        fq = jnp.clip(state.fq + fqd * dt, self.fq_lo, self.fq_hi)
         if self.door is not None:
             door_q = jnp.clip(state.door_q + door_qd * dt, 0.0, self.door.limit)
         else:

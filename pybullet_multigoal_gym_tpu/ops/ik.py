@@ -61,8 +61,9 @@ def _orientation_error(r_cur, r_target):
 
 
 def solve(target_pos, target_quat=None, rest_pose=None, q_init=None,
-          num_iters=KM.IK_MAX_ITERS, position_only=False):
-    """Solve IK for the gripper tip.
+          num_iters=KM.IK_MAX_ITERS, position_only=False,
+          gripper: str = 'parallel_jaw'):
+    """Solve IK for the gripper tip (the loaded gripper's own tip frame).
 
     Args:
       target_pos: (..., 3) desired tip position.
@@ -92,8 +93,8 @@ def solve(target_pos, target_quat=None, rest_pose=None, q_init=None,
         # one link_frames pass per iteration (tip_pose + tip_jacobian would
         # each run the chain again — 3x the dispatch on the hot path)
         pos, rots = fk.link_frames(q)
-        tip = pos[..., 6, :] + quatm.rotate(rots[..., 6, :],
-                                            jnp.asarray(KM.TIP_OFFSET, dt))
+        tip = pos[..., 6, :] + quatm.rotate(
+            rots[..., 6, :], jnp.asarray(KM.tip_offset_for(gripper), dt))
         rot = rots[..., 6, :]
         z = quatm.rotate(rots, jnp.broadcast_to(
             jnp.array([0.0, 0.0, 1.0], dt), pos.shape))

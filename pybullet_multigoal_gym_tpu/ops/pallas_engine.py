@@ -121,14 +121,15 @@ _OQ = np.asarray(_fk._ORIGIN_QUAT_NP)
 _OXYZ = np.asarray(KM.JOINT_ORIGIN_XYZ)
 
 
-def fk_chain(q_rows, fq_rows):
+def fk_chain(q_rows, fq_rows, gripper: str = 'parallel_jaw'):
     """Tile FK of the whole arm chain (mirrors ops/fk.py:link_frames +
     the finger/sphere placement in ops/dynamics.py:substep).
 
     Returns dict with per-joint origin tiles ``o`` (list of 7 (3,T)), joint
     z axes ``z`` (list of 7 (3,T)), link-7 quat ``r7``, finger box centres
-    ``fpos`` (list of 2 (3,T)), finger axes ``faxis``, and the arm collision
-    sphere centres ``spheres`` (list of (3,T), per KM.ARM_SPHERE_*)."""
+    ``fpos`` (list of 2 (3,T)), finger axes ``faxis`` (pad velocity per unit
+    fqd — unit prismatic direction for the jaw, the Robotiq linkage Jacobian
+    otherwise), and the arm collision sphere centres ``spheres``."""
     p = _cv([0.0, 0.0, 0.0])
     r = _cq([1.0, 0.0, 0.0, 0.0])
     origins, rots = [], []
@@ -145,11 +146,29 @@ def fk_chain(q_rows, fq_rows):
     r7 = rots[6]
     gbase = origins[6] + qrotate(r7, _cv(KM.GRIPPER_BASE_OFFSET))
     fpos, faxis = [], []
-    for f in range(2):
-        loc = (_cv(KM.FINGER_ORIGIN[f])
-               + _cv(KM.FINGER_AXIS[f]) * fq_rows[f][None])
-        fpos.append(gbase + qrotate(r7, loc))
-        faxis.append(qrotate(r7, _cv(KM.FINGER_AXIS[f])))
+    if gripper == 'robotiq85':
+        # Robotiq-85 parallelogram pads (KM.robotiq_pad_kinematics scalars)
+        for f in range(2):
+            s = 1.0 if f == 0 else -1.0
+            ct, st = jnp.cos(fq_rows[f]), jnp.sin(fq_rows[f])
+            pad_x = (KM.ROBOTIQ_INNER_X + KM.ROBOTIQ_ARM_TX * ct
+                     + KM.ROBOTIQ_ARM_TY * st + KM.ROBOTIQ_TAB_X
+                     + KM.ROBOTIQ_BASE_OFFSET[2])
+            pad_y = s * (KM.ROBOTIQ_INNER_Y + KM.ROBOTIQ_ARM_TY * ct
+                         - KM.ROBOTIQ_ARM_TX * st - KM.ROBOTIQ_TAB_Y
+                         + KM.ROBOTIQ_PAD_HALF[1])
+            dx = -KM.ROBOTIQ_ARM_TX * st + KM.ROBOTIQ_ARM_TY * ct
+            dy = -s * (KM.ROBOTIQ_ARM_TX * ct + KM.ROBOTIQ_ARM_TY * st)
+            zero = jnp.zeros_like(ct)
+            fpos.append(origins[6]
+                        + qrotate(r7, jnp.stack([zero, pad_y, pad_x])))
+            faxis.append(qrotate(r7, jnp.stack([zero, dy, dx])))
+    else:
+        for f in range(2):
+            loc = (_cv(KM.FINGER_ORIGIN[f])
+                   + _cv(KM.FINGER_AXIS[f]) * fq_rows[f][None])
+            fpos.append(gbase + qrotate(r7, loc))
+            faxis.append(qrotate(r7, _cv(KM.FINGER_AXIS[f])))
     spheres = []
     for sp in range(len(KM.ARM_SPHERE_RADIUS)):
         li = int(KM.ARM_SPHERE_LINK[sp])
@@ -413,7 +432,8 @@ _box_cyl_lanes = box_cyl_lanes
 
 # ------------------------------------------------------------------ the kernel
 def _build_kernel(spec: S.SceneSpec, solver_iters: int, erp: float,
-                  slop: float, n_substeps: int, arm_collision: bool):
+                  slop: float, n_substeps: int, arm_collision: bool,
+                  gripper: str = 'parallel_jaw'):
     assert spec.n_bodies == 1 and spec.ns_static == 0 and spec.door is None, \
         'pallas engine v1 supports single-free-body scenes only'
     a = spec.np_arrays()
@@ -426,8 +446,18 @@ def _build_kernel(spec: S.SceneSpec, solver_iters: int, erp: float,
     inv_inertia = (1.0 / inertia).astype(np.float32)
     plane_mu = fric * spec.plane_friction
     finger_mu = fric * 1.0
-    fhalf = tuple(float(x) for x in KM.FINGER_HALF_EXTENTS)
-    finger_mass = KM.FINGER_MASS * KM.FINGER_INERTIA_SCALING
+    if gripper == 'robotiq85':
+        fhalf = tuple(float(x) for x in KM.ROBOTIQ_PAD_HALF)
+        finger_mass = KM.ROBOTIQ_FINGER_INERTIA
+        finger_force = KM.ROBOTIQ_PD_FORCE
+        finger_vlim = KM.ROBOTIQ_VEL_LIMIT
+        fq_lo, fq_hi = 0.0, KM.ROBOTIQ_JOINT_LIMIT
+    else:
+        fhalf = tuple(float(x) for x in KM.FINGER_HALF_EXTENTS)
+        finger_mass = KM.FINGER_MASS * KM.FINGER_INERTIA_SCALING
+        finger_force = KM.FINGER_PD_FORCE
+        finger_vlim = D.FINGER_VEL_LIMIT
+        fq_lo, fq_hi = -KM.FINGER_LIMIT, KM.FINGER_LIMIT
     dt = D.DT_SUB
     jl_lo = np.asarray(KM.JOINT_LIMIT_LOWER, np.float32)
     jl_hi = np.asarray(KM.JOINT_LIMIT_UPPER, np.float32)
@@ -454,7 +484,7 @@ def _build_kernel(spec: S.SceneSpec, solver_iters: int, erp: float,
         qd = jnp.stack(new_qd)
 
         # 2. FK at the current configuration
-        ch = fk_chain(q, fq)
+        ch = fk_chain(q, fq, gripper)
         fpos, faxis = ch['fpos'], ch['faxis']
         Rb7 = qmat(ch['r7'])
 
@@ -462,9 +492,9 @@ def _build_kernel(spec: S.SceneSpec, solver_iters: int, erp: float,
         new_fqd = []
         for f in range(2):
             err = ft_rows[f] - fq[f]
-            v_des = jnp.clip(D.ARM_SERVO_RATE * err, -D.FINGER_VEL_LIMIT,
-                             D.FINGER_VEL_LIMIT)
-            dv = KM.FINGER_PD_FORCE * dt / finger_mass
+            v_des = jnp.clip(D.ARM_SERVO_RATE * err, -finger_vlim,
+                             finger_vlim)
+            dv = finger_force * dt / finger_mass
             new_fqd.append(fqd[f] + jnp.clip(v_des - fqd[f], -dv, dv))
         fqd = jnp.stack(new_fqd)
 
@@ -707,7 +737,7 @@ def _build_kernel(spec: S.SceneSpec, solver_iters: int, erp: float,
         s = jnp.where(w_norm > 1e-9, jnp.sin(half_ang) / w_norm, 0.0)
         dq_rot = jnp.concatenate([jnp.cos(half_ang)[None], bw_ * s[None]])
         bq = qnormalize(qmul(dq_rot, bq))
-        fq = jnp.clip(fq + fqd_ * dt, -KM.FINGER_LIMIT, KM.FINGER_LIMIT)
+        fq = jnp.clip(fq + fqd_ * dt, fq_lo, fq_hi)
 
         return (q, qd, fq, fqd_, bp, bq, bv_, bw_), ee_force
 
@@ -741,8 +771,10 @@ class PallasEngine:
 
     def __init__(self, spec: S.SceneSpec, solver_iters: int = 8,
                  erp: float = 0.2, slop: float = 5e-4,
-                 interpret: bool = None, arm_collision: bool = True):
+                 interpret: bool = None, arm_collision: bool = True,
+                 gripper: str = 'parallel_jaw'):
         self.spec = spec
+        self.gripper = gripper
         self.solver_iters = solver_iters
         self.erp = erp
         self.slop = slop
@@ -756,7 +788,7 @@ class PallasEngine:
         if n_substeps not in self._kernels:
             self._kernels[n_substeps] = _build_kernel(
                 self.spec, self.solver_iters, self.erp, self.slop, n_substeps,
-                self.arm_collision)
+                self.arm_collision, self.gripper)
         return self._kernels[n_substeps]
 
     def control_step(self, state: D.PhysicsState, controls: D.Controls,

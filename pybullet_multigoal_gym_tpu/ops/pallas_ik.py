@@ -87,12 +87,12 @@ def _link_frames_tiles(q_rows):
     return ps, rs
 
 
-def _build_ik_kernel(num_iters: int):
+def _build_ik_kernel(num_iters: int, gripper: str = 'parallel_jaw'):
     jl_lo = np.asarray(KM.JOINT_LIMIT_LOWER, np.float32)
     jl_hi = np.asarray(KM.JOINT_LIMIT_UPPER, np.float32)
     ik_lo = np.asarray(KM.IK_LOWER, np.float32)
     ik_hi = np.asarray(KM.IK_UPPER, np.float32)
-    tip_off = np.asarray(KM.TIP_OFFSET, np.float32)
+    tip_off = np.asarray(KM.tip_offset_for(gripper), np.float32)
 
     def kernel(tgt_ref, tq_ref, rest_ref, q0_ref, out_ref):
         tgt = tgt_ref[:]          # (3,8,128)
@@ -150,12 +150,13 @@ def _build_ik_kernel(num_iters: int):
 class PallasIK:
     """Batched IK front-end. Inputs have a leading env axis (N % 1024 == 0)."""
 
-    def __init__(self, num_iters: int = KM.IK_MAX_ITERS, interpret=None):
+    def __init__(self, num_iters: int = KM.IK_MAX_ITERS, interpret=None,
+                 gripper: str = 'parallel_jaw'):
         if interpret is None:
             interpret = jax.default_backend() != 'tpu'
         self.interpret = interpret
         self.num_iters = num_iters
-        self._kernel = _build_ik_kernel(num_iters)
+        self._kernel = _build_ik_kernel(num_iters, gripper)
 
     def solve(self, target_pos, target_quat=None, rest_pose=None, q_init=None):
         N = target_pos.shape[0]

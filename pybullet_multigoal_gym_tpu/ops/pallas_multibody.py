@@ -240,7 +240,8 @@ def supports_scene(spec: S.SceneSpec, arm_collision: bool = True) -> bool:
 
 
 def _build_kernel(spec: S.SceneSpec, solver_iters: int, erp: float,
-                  slop: float, n_substeps: int, arm_collision: bool):
+                  slop: float, n_substeps: int, arm_collision: bool,
+                  gripper: str = 'parallel_jaw'):
     a = spec.np_arrays()
     B = spec.n_bodies
     masses = a['body_mass']
@@ -259,8 +260,18 @@ def _build_kernel(spec: S.SceneSpec, solver_iters: int, erp: float,
                 diag = S.body_inertia_diag(max(masses[b], 1e-6),
                                            a['geom_half'][g], a['geom_type'][g])
         inv_inertia.append((1.0 / diag if masses[b] > 0 else np.zeros(3)))
-    fhalf = tuple(float(x) for x in KM.FINGER_HALF_EXTENTS)
-    finger_mass = KM.FINGER_MASS * KM.FINGER_INERTIA_SCALING
+    if gripper == 'robotiq85':
+        fhalf = tuple(float(x) for x in KM.ROBOTIQ_PAD_HALF)
+        finger_mass = KM.ROBOTIQ_FINGER_INERTIA
+        finger_force = KM.ROBOTIQ_PD_FORCE
+        finger_vlim = KM.ROBOTIQ_VEL_LIMIT
+        fq_lo, fq_hi = 0.0, KM.ROBOTIQ_JOINT_LIMIT
+    else:
+        fhalf = tuple(float(x) for x in KM.FINGER_HALF_EXTENTS)
+        finger_mass = KM.FINGER_MASS * KM.FINGER_INERTIA_SCALING
+        finger_force = KM.FINGER_PD_FORCE
+        finger_vlim = D.FINGER_VEL_LIMIT
+        fq_lo, fq_hi = -KM.FINGER_LIMIT, KM.FINGER_LIMIT
     dt = D.DT_SUB
     jl_lo = np.asarray(KM.JOINT_LIMIT_LOWER, np.float32)
     jl_hi = np.asarray(KM.JOINT_LIMIT_UPPER, np.float32)
@@ -322,7 +333,7 @@ def _build_kernel(spec: S.SceneSpec, solver_iters: int, erp: float,
         qd = jnp.stack(new_qd)
 
         # 2. FK at the current configuration
-        ch = fk_chain(q, fq)
+        ch = fk_chain(q, fq, gripper)
         fpos, faxis = ch['fpos'], ch['faxis']
         Rb7 = qmat(ch['r7'])
 
@@ -330,9 +341,9 @@ def _build_kernel(spec: S.SceneSpec, solver_iters: int, erp: float,
         new_fqd = []
         for f in range(2):
             err = ft[f] - fq[f]
-            v_des = jnp.clip(D.ARM_SERVO_RATE * err, -D.FINGER_VEL_LIMIT,
-                             D.FINGER_VEL_LIMIT)
-            dv = KM.FINGER_PD_FORCE * dt / finger_mass
+            v_des = jnp.clip(D.ARM_SERVO_RATE * err, -finger_vlim,
+                             finger_vlim)
+            dv = finger_force * dt / finger_mass
             new_fqd.append(fqd[f] + jnp.clip(v_des - fqd[f], -dv, dv))
         fqd = jnp.stack(new_fqd)
 
@@ -783,7 +794,7 @@ def _build_kernel(spec: S.SceneSpec, solver_iters: int, erp: float,
                                           bw_ * s_[None]])
                 bq = qnormalize(qmul(dq_rot, bq))
             new_bodies.append((bp, bq, bv_, bw_))
-        fq = jnp.clip(fq + fqd_ * dt, -KM.FINGER_LIMIT, KM.FINGER_LIMIT)
+        fq = jnp.clip(fq + fqd_ * dt, fq_lo, fq_hi)
         if door is not None:
             door_q = jnp.clip(door_q + door_qd * dt, 0.0, float(door.limit))
 
@@ -824,7 +835,7 @@ class PallasMultiBodyEngine:
 
     def __init__(self, spec: S.SceneSpec, solver_iters: int = 8,
                  erp: float = 0.2, slop: float = 5e-4, interpret=None,
-                 arm_collision: bool = True):
+                 arm_collision: bool = True, gripper: str = 'parallel_jaw'):
         assert supports_scene(spec, arm_collision), \
             'scene exceeds the pallas lane budget (%d > %d)' % (
                 count_lanes(spec, arm_collision), LANE_BUDGET)
@@ -833,6 +844,7 @@ class PallasMultiBodyEngine:
         self.erp = erp
         self.slop = slop
         self.arm_collision = arm_collision
+        self.gripper = gripper
         if interpret is None:
             interpret = jax.default_backend() != 'tpu'
         self.interpret = interpret
@@ -842,7 +854,7 @@ class PallasMultiBodyEngine:
         if n_sub not in self._kernels:
             self._kernels[n_sub] = _build_kernel(
                 self.spec, self.solver_iters, self.erp, self.slop, n_sub,
-                self.arm_collision)
+                self.arm_collision, self.gripper)
         return self._kernels[n_sub]
 
     def control_step(self, state: D.PhysicsState, controls: D.Controls,

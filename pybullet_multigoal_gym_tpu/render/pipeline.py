@@ -69,6 +69,7 @@ class RenderPipeline:
             if not cfg.has_obj:
                 # arm teleported to the goal (kuka_single_step_base_env.py:150-157)
                 q = ik.solve(goal[:3], q_init=jnp.asarray(env.rest_pose),
+                         gripper=env.cfg.gripper,
                              rest_pose=jnp.asarray(env.rest_pose))
                 return {'q': q}
             if not cfg.grasping:
@@ -76,6 +77,7 @@ class RenderPipeline:
                 return {'body_pos': ph.body_pos.at[0].set(goal[:3])}
             # pick-and-place: arm + closed fingers + block at the goal (:169-188)
             q = ik.solve(goal[:3], q_init=jnp.asarray(env.rest_pose),
+                         gripper=env.cfg.gripper,
                          rest_pose=jnp.asarray(env.rest_pose))
             fq = jnp.full((2,), env.gripper_grasp_block_state * env.finger_scale,
                           F32)
@@ -95,6 +97,7 @@ class RenderPipeline:
                     gpos = state.target_xyzs[0].at[2].set(
                         0.175 + env.block_size * (nb - 1))
                 q = ik.solve(gpos, q_init=jnp.asarray(env.rest_pose),
+                         gripper=env.cfg.gripper,
                              rest_pose=jnp.asarray(env.rest_pose))
                 fq = jnp.full((2,), env.gripper_grasp_block_state
                               * env.finger_scale, F32)
