@@ -111,27 +111,70 @@ _BACKGROUND = np.array([0.8, 0.85, 0.95], np.float32)
 
 def trace(prims: Prims, origins, dirs):
     """Nearest-hit trace. origins/dirs: (...,3). Returns color (...,3) float in
-    [0,1], hit point (...,3), hit mask (...)."""
-    def per_prim(kind, pos, rot, size, visible):
-        # transform ray into the primitive's local frame
+    [0,1], hit point (...,3), hit mask (...).
+
+    Primitive KINDS are static per env config (visuals.build_prims assembles
+    them from literals), so when `prims.kind` is a concrete array the trace
+    groups primitives by kind and runs exactly ONE intersector per group —
+    the dynamic jnp.select path (all four intersectors for every primitive,
+    4x the ray math) is only the fallback for traced kinds."""
+    kinds_np = None
+    if not isinstance(prims.kind, jax.core.Tracer):
+        kinds_np = np.asarray(prims.kind)
+
+    def local_ray(pos, rot):
         o = quatm.rotate_inv(rot, origins - pos)
         d = quatm.rotate_inv(rot, dirs)
-        ts, ns = _ray_sphere(o, d, size[0])
-        tb, nb = _ray_box(o, d, size)
-        tc, nc = _ray_cylinder(o, d, size[0], size[1])
-        tp, npp = _ray_capsule(o, d, size[0], size[1])
-        t = jnp.select([kind == SPHERE, kind == BOX, kind == CYLINDER],
-                       [ts, tb, tc], tp)
-        n = jnp.select([(kind == SPHERE)[..., None], (kind == BOX)[..., None],
-                        (kind == CYLINDER)[..., None]],
-                       [ns, nb, nc], npp)
-        t = jnp.where(visible, t, _BIG)
-        n_world = quatm.rotate(rot, n)
-        return t, n_world
+        return o, d
 
-    ts, ns = jax.vmap(per_prim, in_axes=(0, 0, 0, 0, 0),
-                      out_axes=(0, 0))(prims.kind, prims.pos, prims.rot,
-                                       prims.size, prims.visible)
+    if kinds_np is not None:
+        P = len(kinds_np)
+        ts_parts, ns_parts, order = [], [], []
+        intersect = {
+            SPHERE: lambda o, d, s: _ray_sphere(o, d, s[0]),
+            BOX: lambda o, d, s: _ray_box(o, d, s),
+            CYLINDER: lambda o, d, s: _ray_cylinder(o, d, s[0], s[1]),
+            CAPSULE: lambda o, d, s: _ray_capsule(o, d, s[0], s[1]),
+        }
+        for kind in (SPHERE, BOX, CYLINDER, CAPSULE):
+            sel = np.nonzero(kinds_np == kind)[0]
+            if len(sel) == 0:
+                continue
+            order += list(sel)
+
+            def per_prim(pos, rot, size, visible, _k=kind):
+                o, d = local_ray(pos, rot)
+                t, n = intersect[_k](o, d, size)
+                t = jnp.where(visible, t, _BIG)
+                return t, quatm.rotate(rot, n)
+
+            t_g, n_g = jax.vmap(per_prim, in_axes=(0, 0, 0, 0))(
+                prims.pos[sel], prims.rot[sel], prims.size[sel],
+                prims.visible[sel])
+            ts_parts.append(t_g)
+            ns_parts.append(n_g)
+        inv_order = np.argsort(np.asarray(order))
+        ts = jnp.concatenate(ts_parts, axis=0)[inv_order]
+        ns = jnp.concatenate(ns_parts, axis=0)[inv_order]
+    else:
+        def per_prim(kind, pos, rot, size, visible):
+            o, d = local_ray(pos, rot)
+            ts, ns = _ray_sphere(o, d, size[0])
+            tb, nb = _ray_box(o, d, size)
+            tc, nc = _ray_cylinder(o, d, size[0], size[1])
+            tp, npp = _ray_capsule(o, d, size[0], size[1])
+            t = jnp.select([kind == SPHERE, kind == BOX, kind == CYLINDER],
+                           [ts, tb, tc], tp)
+            n = jnp.select([(kind == SPHERE)[..., None],
+                            (kind == BOX)[..., None],
+                            (kind == CYLINDER)[..., None]],
+                           [ns, nb, nc], npp)
+            t = jnp.where(visible, t, _BIG)
+            return t, quatm.rotate(rot, n)
+
+        ts, ns = jax.vmap(per_prim, in_axes=(0, 0, 0, 0, 0),
+                          out_axes=(0, 0))(prims.kind, prims.pos, prims.rot,
+                                           prims.size, prims.visible)
     # ts: (P, ...), ns: (P, ..., 3)
     idx = jnp.argmin(ts, axis=0)
     tmin = jnp.min(ts, axis=0)

@@ -14,7 +14,14 @@ before this file runs).
 
 import os
 
-if os.environ.get('PMG_FORCE_CPU'):
-    import jax
+import jax
 
+if os.environ.get('PMG_FORCE_CPU'):
     jax.config.update('jax_platforms', 'cpu')
+
+# persistent compilation cache: env physics programs are large (30-500 s cold
+# compiles); re-runs of the suite hit the cache instead
+jax.config.update('jax_compilation_cache_dir',
+                  os.environ.get('JAX_COMPILATION_CACHE_DIR',
+                                 os.path.expanduser('~/.jax_cache')))
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 5.0)

@@ -1,0 +1,74 @@
+"""Renderer tests: static-kind dispatch parity and image-obs contract.
+
+raster.trace groups primitives by their (config-static) kind and runs one
+intersector per group; these tests pin that fast path against the dynamic
+jnp.select path and check the image-observation plumbing end-to-end at a
+small resolution (the reference's capability being replaced:
+base_env.py:140-168)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import pybullet_multigoal_gym_tpu as pmg  # noqa: F401
+from pybullet_multigoal_gym_tpu.render import camera as C
+from pybullet_multigoal_gym_tpu.render import raster
+
+
+def _soup():
+    kinds = [raster.BOX, raster.SPHERE, raster.CYLINDER, raster.CAPSULE,
+             raster.BOX]
+    P = len(kinds)
+    key = jax.random.PRNGKey(0)
+    pos = jnp.array([[0.0, 0.0, 0.1], [0.15, 0.0, 0.1], [-0.15, 0.0, 0.1],
+                     [0.0, 0.15, 0.1], [0.0, -0.15, 0.05]], jnp.float32)
+    rot = jnp.tile(jnp.array([1.0, 0, 0, 0], jnp.float32), (P, 1))
+    size = jnp.array([[0.05, 0.05, 0.05], [0.06, 0, 0], [0.04, 0.05, 0],
+                      [0.03, 0.04, 0], [0.2, 0.2, 0.01]], jnp.float32)
+    color = jax.random.uniform(key, (P, 3), jnp.float32, 0.2, 1.0)
+    visible = jnp.ones((P,), bool)
+    return kinds, pos, rot, size, color, visible
+
+
+def test_static_trace_matches_dynamic():
+    kinds, pos, rot, size, color, visible = _soup()
+    V = C.view_matrix([0.5, 0.4, 0.6], [0.0, 0.0, 0.1], [0, 0, 1])
+    P_m = C.projection_matrix_fov(aspect=1.0)
+    origins, dirs = C.pixel_rays(32, 32, V, P_m)
+
+    static = raster.Prims(kind=jnp.asarray(kinds, jnp.int32), pos=pos,
+                          rot=rot, size=size, color=color, visible=visible)
+    c1, p1, h1 = raster.trace(static, origins, dirs)
+
+    # force the dynamic path by tracing the kinds through jit
+    def dyn(kind_arr):
+        prims = raster.Prims(kind=kind_arr, pos=pos, rot=rot, size=size,
+                             color=color, visible=visible)
+        return raster.trace(prims, origins, dirs)
+
+    c2, p2, h2 = jax.jit(dyn)(jnp.asarray(kinds, jnp.int32))
+    np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-3)
+    assert bool(np.asarray(h1).any())        # the soup is actually visible
+
+
+def test_image_observation_contract_small():
+    camera_setup = [{
+        'cameraEyePosition': [-0.9, 0.0, 0.4],
+        'cameraTargetPosition': [-0.45, 0.0, 0.0],
+        'cameraUpVector': [0, 0, 1],
+        'render_width': 32, 'render_height': 32,
+    }]
+    env = pmg.make_env(task='push', image_observation=True, depth_image=True,
+                       goal_image=True, camera_setup=camera_setup,
+                       max_episode_steps=5)
+    obs = env.reset()
+    assert obs['observation'].shape == (32, 32, 4)      # rgbd
+    assert obs['desired_goal_img'].shape == (32, 32, 4)
+    assert obs['state'].ndim == 1
+    img = np.asarray(obs['observation'])
+    assert img.dtype == np.uint8
+    assert img[..., :3].std() > 1.0          # not a constant image
+    obs, r, d, i = env.step(np.zeros(4, np.float32))
+    assert obs['observation'].shape == (32, 32, 4)
