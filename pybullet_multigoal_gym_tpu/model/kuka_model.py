@@ -240,5 +240,9 @@ ARM_SPHERE_OFFSET = np.array([
     [0.0, 0.0, 0.0],                 # joint-7 origin
     GRIPPER_BASE_OFFSET,             # gripper palm
 ], dtype=np.float64)
+# Palm sphere r=0.03: the real gripper-base link is ~3 cm wide; a fatter
+# guard interpenetrates the chest door handle at the multi-step family's
+# on-table start pose (tip (-0.52,0,0.176), handle face at x=-0.547) and
+# ratchets the free door open at spawn.
 ARM_SPHERE_RADIUS = np.array(
-    [0.065, 0.06, 0.06, 0.055, 0.055, 0.05, 0.05], dtype=np.float64)
+    [0.065, 0.06, 0.06, 0.055, 0.055, 0.05, 0.03], dtype=np.float64)

@@ -667,7 +667,14 @@ class Engine:
         if arm_jac is not None:
             jd = jnp.einsum('cji,ci->cj', arm_jac,
                             total_imp * (arm_sgn * couple)[:, None])  # (nc,7)
-            qd = state.qd + jnp.sum(jd, axis=0) * inv_I_arm
+            # contact-induced joint velocity change is capped at the motor's
+            # own per-substep authority (force*dt/I): the servo can always
+            # counteract it, so deep spawn penetrations (e.g. the on-table
+            # start pose buries the finger boxes in the tabletop) cannot
+            # pump unbounded energy through the frozen-arm coupling
+            dv_cap = KM.ARM_PD_FORCE * DT_SUB * inv_I_arm
+            qd = state.qd + jnp.clip(jnp.sum(jd, axis=0) * inv_I_arm,
+                                     -dv_cap, dv_cap)
         else:
             qd = state.qd
 

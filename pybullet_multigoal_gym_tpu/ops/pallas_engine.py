@@ -718,7 +718,10 @@ def _build_kernel(spec: S.SceneSpec, solver_iters: int, erp: float,
         for j in range(7):
             pd = lane_cross(pts - ch['o'][j][None], imp_arm)
             jd = jnp.sum(jnp.sum(pd * ch['z'][j][None], 1) * jmask[j][:, 0], 0)
-            new_qd.append(qd[j] + jd * float(inv_arm_inertia[j]))
+            # capped at the motor's per-substep authority (dynamics._solve)
+            cap = float(KM.ARM_PD_FORCE * dt * inv_arm_inertia[j])
+            new_qd.append(qd[j] + jnp.clip(jd * float(inv_arm_inertia[j]),
+                                           -cap, cap))
         qd = jnp.stack(new_qd)
 
         # EE force sensor: impulse applied onto the gripper

@@ -765,9 +765,13 @@ def _build_kernel(spec: S.SceneSpec, solver_iters: int, erp: float,
                 pd_ = lcross(pts[sl] - ch['o'][j][None], imp_s)
                 dqd[j] = dqd[j] + jnp.sum(
                     jnp.sum(pd_ * ch['z'][j][None], 1), 0)
-        qd = jnp.stack([qd[j] + (dqd[j] * float(inv_arm[j])
-                                 if not isinstance(dqd[j], float) else 0.0)
-                        for j in range(7)])
+        # capped at the motor's per-substep authority (see dynamics._solve)
+        qd = jnp.stack([
+            qd[j] + (jnp.clip(dqd[j] * float(inv_arm[j]),
+                              -float(KM.ARM_PD_FORCE * dt * inv_arm[j]),
+                              float(KM.ARM_PD_FORCE * dt * inv_arm[j]))
+                     if not isinstance(dqd[j], float) else 0.0)
+            for j in range(7)])
 
         # EE force sensor: impulse onto the gripper (fingers + palm spheres)
         ee_force = 0.0
