@@ -12,14 +12,30 @@ TRAVERSE_Z = 0.30       # safe altitude: finger bottoms clear a 0.19 block top
 PUSH_Z = 0.177          # pushing height: finger faces cover the block side
 
 
-def push_step(grip, block, tgt, z_push=PUSH_Z):
+def _path_blocked(p0, p1, obstacles, margin=0.055):
+    """True if the xy segment p0->p1 passes within ``margin`` of any
+    obstacle centre (other blocks the low gripper would plow through)."""
+    if obstacles is None or len(obstacles) == 0:
+        return False
+    d = p1 - p0
+    L = np.linalg.norm(d)
+    u = d / max(L, 1e-6)
+    for ob in obstacles:
+        s = float(np.clip(np.dot(ob[:2] - p0, u), 0.0, L))
+        if np.linalg.norm(ob[:2] - (p0 + u * s)) < margin:
+            return True
+    return False
+
+
+def push_step(grip, block, tgt, z_push=PUSH_Z, obstacles=None):
     """One EE-space pushing action (3,) driving ``block`` toward ``tgt``.
 
     Strategy: stage the EE at a point 5 cm behind the block on the goal
     line (clear of the block), descend there, then drive through the block
     toward the goal. While in pushing contact the gripper rides 1-2 cm
     behind the block centre, so the PUSH branch keeps control until the
-    gripper actually crosses the block."""
+    gripper actually crosses the block. ``obstacles`` (other block centres)
+    force a rise when the low traverse path would sweep through one."""
     to_goal = tgt[:2] - block[:2]
     dg = np.linalg.norm(to_goal)
     pd = to_goal / max(dg, 1e-6)
@@ -32,16 +48,21 @@ def push_step(grip, block, tgt, z_push=PUSH_Z):
         # behind on the push line: drive through toward the target
         t = np.concatenate([block[:2] + pd * min(dg, 0.03), [z_push]])
         return np.clip((t - grip) * 30, -1, 1)
-    if low and along < -0.025:
+    if (low and along < -0.025
+            and not _path_blocked(grip[:2], stage, obstacles)):
         # low, clearly behind, off the line: steer to the staging point
         # WITHOUT rising (rise + re-descend costs ~20 steps per cycle)
         t = np.concatenate([stage, [z_push]])
         return np.clip((t - grip) * 30, -1, 1)
     if low:
-        # low on the wrong side of the block: rise before traversing
+        # low on the wrong side of the block (or the low path is blocked):
+        # rise before traversing
         return np.array([0.0, 0.0, 1.0])
-    if np.linalg.norm(grip[:2] - stage) < 0.012:
-        # above the staging point: descend onto it
+    if np.linalg.norm(grip[:2] - stage) < 0.021:
+        # above (or near-above) the staging point: descend onto it. The
+        # capture radius is 2.1 cm: near the close-in x bound the tip
+        # saturates ~1.3 cm short of the ideal stage (IK joint-4 limit) and
+        # a tighter radius flip-flops with the traverse branch forever.
         t = np.concatenate([stage, [z_push]])
         return np.clip((t - grip) * 30, -1, 1)
     t = np.concatenate([stage, [TRAVERSE_Z]])
@@ -79,9 +100,41 @@ def _goto(tgt, grip, gain=25):
     return np.clip((np.asarray(tgt) - grip) * gain, -1, 1)
 
 
-class RearrangeExpert:
+class EEController:
+    """Anti-windup wrapper for EE-space experts.
+
+    The env integrates ``ee_target += a*0.01`` clipped only to the workspace
+    box (kuka.py:208-220) — when the commanded point is kinematically
+    saturated (IK residual near the close-in x bound) the target winds up
+    against the box while the tip stalls, and the expert deadlocks. The
+    mirror tracks the env's accumulator and freezes any axis whose
+    integrated target already leads the measured tip by >2.5 cm."""
+
+    WS_LOW = np.array([-0.67, -0.20, 0.175])
+    WS_HIGH = np.array([-0.37, 0.20, 0.55])
+
+    def _ee_reset(self):
+        self._ee = None
+
+    def _wrap(self, a, grip):
+        a = np.clip(np.asarray(a, np.float64), -1.0, 1.0)
+        if self._ee is None:
+            self._ee = np.asarray(grip, np.float64).copy()
+        lead = self._ee - grip
+        a = np.where((lead > 0.025) & (a > 0), 0.0, a)
+        a = np.where((lead < -0.025) & (a < 0), 0.0, a)
+        self._ee = np.clip(self._ee + a * 0.01, self.WS_LOW, self.WS_HIGH)
+        return a.astype(np.float32)
+
+
+class RearrangeExpert(EEController):
     """Pushes each mismatched block to its flat target, worst-error first
-    (block_rearrange: all targets on the table, no grasping needed)."""
+    (block_rearrange: all targets on the table, no grasping needed).
+
+    Block selection avoids staging points occupied by OTHER blocks (the
+    descend-onto-stage branch of push_step would otherwise park on top of
+    the obstructing block forever), and a stall detector re-selects when
+    the gripper stops making progress."""
 
     def __init__(self, nb):
         self.nb = nb
@@ -89,20 +142,80 @@ class RearrangeExpert:
 
     def reset(self):
         self.cur = -1
+        self.best_err = np.inf
+        self.noprog = 0
+        self.steps_on_cur = 0
+        self.recover = 0
+        self._ee_reset()
+
+    def _stage_clear(self, i, ag, dg):
+        pd = dg[i, :2] - ag[i, :2]
+        pd = pd / max(np.linalg.norm(pd), 1e-6)
+        stage = ag[i, :2] - pd * 0.05
+        for j in range(self.nb):
+            if j != i and np.linalg.norm(ag[j, :2] - stage) < 0.055:
+                return False
+        return True
+
+    def _select(self, ag, dg, errs, exclude=-1):
+        order = np.argsort(-errs)
+        for i in order:
+            if i != exclude and errs[i] >= 0.018 and self._stage_clear(
+                    i, ag, dg):
+                return int(i)
+        for i in order:
+            if errs[i] >= 0.018 and i != exclude:
+                return int(i)
+        return int(order[0])
 
     def __call__(self, obs):
         grip = obs['policy_state'][:3]
         ag = obs['achieved_goal'].reshape(self.nb, 3)
         dg = obs['desired_goal'].reshape(self.nb, 3)
         errs = np.linalg.norm(ag[:, :2] - dg[:, :2], axis=-1)
+        if self.recover > 0:
+            # unwind ee-target windup against the workspace floor: a long
+            # streak of +z actions raises the clipped ee_target back above
+            # the tip before any new approach is attempted
+            self.recover -= 1
+            if self.recover == 0:
+                self.cur = self._select(ag, dg, errs, exclude=self.cur)
+                self.best_err = errs[self.cur] if self.cur >= 0 else np.inf
+                self.noprog = 0
+                self.steps_on_cur = 0
+            return self._wrap([0.0, 0.0, 1.0], grip)
+        if self.cur >= 0:
+            # error-progress watchdog: mm-scale gripper oscillation defeats
+            # a positional stall check, so track the BLOCK error instead.
+            # Only count steps spent IN pushing range (low + near) so the
+            # approach/descend phases don't burn the budget; the hard cap
+            # bounds total time on one block regardless.
+            self.steps_on_cur += 1
+            in_range = (grip[2] < 0.21 and np.linalg.norm(
+                grip[:2] - ag[self.cur, :2]) < 0.10)
+            if errs[self.cur] < self.best_err - 0.003:
+                self.best_err = errs[self.cur]
+                self.noprog = 0
+            elif in_range:
+                self.noprog += 1
         if self.cur < 0 or errs[self.cur] < 0.018:
-            self.cur = int(np.argmax(errs))
+            self.cur = self._select(ag, dg, errs)
+            self.best_err = errs[self.cur]
+            self.noprog = 0
+            self.steps_on_cur = 0
+        elif self.noprog >= 30 or self.steps_on_cur >= 80:
+            # no block progress for 30 steps (saturated stage point or
+            # obstructed approach): rise, then switch blocks
+            self.recover = 14
+            return self._wrap([0.0, 0.0, 1.0], grip)
         if errs[self.cur] < 0.018:
             return np.zeros(3, np.float32)
-        return push_step(grip, ag[self.cur], dg[self.cur]).astype(np.float32)
+        obstacles = [ag[j] for j in range(self.nb) if j != self.cur]
+        return self._wrap(push_step(grip, ag[self.cur], dg[self.cur],
+                                    obstacles=obstacles), grip)
 
 
-class StackExpert:
+class StackExpert(EEController):
     """Builds the tower bottom-up with grasped pick-and-place
     (block_stack: per-level targets z = 0.175 + 0.03 k)."""
 
@@ -145,7 +258,7 @@ class StackExpert:
         return np.concatenate([a, [g]]).astype(np.float32)
 
 
-class ChestPushExpert:
+class ChestPushExpert(EEController):
     """chest_push (front_sliding door): pinch the handle, sweep +y to slide
     the door open to 0.12, then push each block through the opening to its
     in-chest target (chest at (-0.70, 0, 0.17), door on the +x face)."""
@@ -194,7 +307,7 @@ class ChestPushExpert:
         return a.astype(np.float32)
 
 
-class ChestPickExpert:
+class ChestPickExpert(EEController):
     """chest_pick_and_place (up_sliding lid): pinch-push the lid handle -x
     to open, then grasp each block and drop it over the chest centre."""
 
