@@ -44,7 +44,8 @@ class KukaInsertionEnv(KukaEnvBase):
 
     def _build_engine(self):
         # scene body order: (rectangle, slot); env object order: (slot, rectangle)
-        return D.Engine(S.insertion_scene(), gripper=self.cfg.gripper)
+        return D.Engine(S.insertion_scene(), gripper=self.cfg.gripper,
+                        ik_workspace=self.ik_workspace)
 
     def _body_index(self, key):
         # insertion_scene bodies: 0=rectangle (dynamic), 1=slot (pinned)
@@ -132,7 +133,8 @@ class KukaInsertionEnv(KukaEnvBase):
     @property
     def supports_pallas(self):
         from pybullet_multigoal_gym_tpu.ops import pallas_multibody as PM
-        return PM.supports_scene(self.engine.spec)
+        return PM.supports_scene(self.engine.spec,
+                                 ik_workspace=self.ik_workspace)
 
     def get_pallas_engine(self, interpret=None):
         from pybullet_multigoal_gym_tpu.ops.pallas_multibody import (
@@ -141,7 +143,8 @@ class KukaInsertionEnv(KukaEnvBase):
             self._pallas_engine = PallasMultiBodyEngine(
                 self.engine.spec, solver_iters=self.engine.solver_iters,
                 erp=self.engine.erp, slop=self.engine.slop,
-                interpret=interpret, gripper=self.cfg.gripper)
+                interpret=interpret, gripper=self.cfg.gripper,
+                ik_workspace=self.ik_workspace)
         return self._pallas_engine
 
     # -------------------------------------------------------------------- obs

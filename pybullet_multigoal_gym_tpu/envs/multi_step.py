@@ -86,7 +86,8 @@ class KukaMultiBlockEnv(KukaEnvBase):
         return D.Engine(S.multi_step_scene(self.cfg.num_block,
                                            self.cfg.has_chest,
                                            self.cfg.chest_door),
-                        gripper=self.cfg.gripper)
+                        gripper=self.cfg.gripper,
+                        ik_workspace=self.ik_workspace)
 
     @property
     def goal_dim(self):
@@ -156,7 +157,8 @@ class KukaMultiBlockEnv(KukaEnvBase):
     @property
     def supports_pallas(self):
         from pybullet_multigoal_gym_tpu.ops import pallas_multibody as PM
-        return PM.supports_scene(self.engine.spec)
+        return PM.supports_scene(self.engine.spec,
+                                 ik_workspace=self.ik_workspace)
 
     def get_pallas_engine(self, interpret=None):
         from pybullet_multigoal_gym_tpu.ops.pallas_multibody import (
@@ -165,7 +167,8 @@ class KukaMultiBlockEnv(KukaEnvBase):
             self._pallas_engine = PallasMultiBodyEngine(
                 self.engine.spec, solver_iters=self.engine.solver_iters,
                 erp=self.engine.erp, slop=self.engine.slop,
-                interpret=interpret, gripper=self.cfg.gripper)
+                interpret=interpret, gripper=self.cfg.gripper,
+                ik_workspace=self.ik_workspace)
         return self._pallas_engine
 
     # ----------------------------------------------------------- sub-goal API

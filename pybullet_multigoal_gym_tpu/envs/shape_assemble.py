@@ -47,7 +47,8 @@ class KukaPrimitiveEnv(KukaEnvBase):
 
     def _build_engine(self):
         return D.Engine(S.shape_assemble_scene(self.cfg.manipulated_object_keys),
-                        gripper=self.cfg.gripper)
+                        gripper=self.cfg.gripper,
+                        ik_workspace=self.ik_workspace)
 
     @property
     def goal_dim(self):
@@ -141,7 +142,8 @@ class KukaPrimitiveEnv(KukaEnvBase):
     @property
     def supports_pallas(self):
         from pybullet_multigoal_gym_tpu.ops import pallas_multibody as PM
-        return PM.supports_scene(self.engine.spec)
+        return PM.supports_scene(self.engine.spec,
+                                 ik_workspace=self.ik_workspace)
 
     def get_pallas_engine(self, interpret=None):
         from pybullet_multigoal_gym_tpu.ops.pallas_multibody import (
@@ -150,7 +152,8 @@ class KukaPrimitiveEnv(KukaEnvBase):
             self._pallas_engine = PallasMultiBodyEngine(
                 self.engine.spec, solver_iters=self.engine.solver_iters,
                 erp=self.engine.erp, slop=self.engine.slop,
-                interpret=interpret, gripper=self.cfg.gripper)
+                interpret=interpret, gripper=self.cfg.gripper,
+                ik_workspace=self.ik_workspace)
         return self._pallas_engine
 
     def get_pallas_ik_primitive(self, interpret=None):

@@ -28,6 +28,11 @@ class KukaEnvBase:
 
     def __init__(self, cfg: EnvConfig):
         self.cfg = cfg
+        # EE/primitive control only ever feeds the servo IK solutions for
+        # tip targets inside the workspace box, so the engines can cull
+        # statically unreachable arm-contact lanes (ops/lane_cull.py);
+        # joint-space control can command any configuration -> keep all
+        self.ik_workspace = not cfg.joint_control
         # tip start (kuka.py:35-38)
         tip_init = np.array([-0.52, 0.0, 0.25])
         if cfg.end_effector_start_on_table:
@@ -206,7 +211,8 @@ class KukaSingleStepEnv(KukaEnvBase):
     def _build_engine(self):
         return D.Engine(S.single_step_scene(self.cfg.has_obj,
                                             self.cfg.table_type),
-                        gripper=self.cfg.gripper)
+                        gripper=self.cfg.gripper,
+                        ik_workspace=self.ik_workspace)
 
     def _block_z(self):
         # object_initial_pos['block'][2] (kuka_single_step_base_env.py:50-56)
@@ -273,7 +279,8 @@ class KukaSingleStepEnv(KukaEnvBase):
 
     @property
     def supports_pallas(self):
-        return self.cfg.has_obj        # single free body + plane + fingers
+        # single free body + plane + fingers, or the no-object reach scene
+        return True
 
     def get_pallas_engine(self, interpret=None):
         from pybullet_multigoal_gym_tpu.ops.pallas_engine import PallasEngine
@@ -281,7 +288,8 @@ class KukaSingleStepEnv(KukaEnvBase):
             self._pallas_engine = PallasEngine(
                 self.engine.spec, solver_iters=self.engine.solver_iters,
                 erp=self.engine.erp, slop=self.engine.slop,
-                interpret=interpret, gripper=self.cfg.gripper)
+                interpret=interpret, gripper=self.cfg.gripper,
+                ik_workspace=self.ik_workspace)
         return self._pallas_engine
 
     def step(self, state: core.EnvState, action):

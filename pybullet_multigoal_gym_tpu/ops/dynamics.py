@@ -92,7 +92,8 @@ class Engine:
 
     def __init__(self, spec: S.SceneSpec, solver_iters: int = 8,
                  erp: float = 0.2, slop: float = 5e-4,
-                 arm_collision: bool = True, gripper: str = 'parallel_jaw'):
+                 arm_collision: bool = True, gripper: str = 'parallel_jaw',
+                 ik_workspace: bool = True):
         # solver_iters: Bullet runs 5 Gauss-Seidel iterations
         # (base_env.py:216); this mass-splitting Jacobi solver converges a
         # little slower per iteration, 8 keeps grasp/tower parity with margin
@@ -102,6 +103,11 @@ class Engine:
         self.erp = erp
         self.slop = slop
         self.arm_collision = arm_collision
+        # ik_workspace: the arm only tracks IK targets inside the EE
+        # workspace box, which lets _build_contact_plan drop statically
+        # unreachable arm-sphere lanes (ops/lane_cull.py). Joint-space
+        # control can reach any configuration: pass False to keep them all.
+        self.ik_workspace = ik_workspace
         self.nb = max(spec.n_bodies, 1)
         a = spec.np_arrays() if spec.n_bodies > 0 else None
 
@@ -250,25 +256,31 @@ class Engine:
                                      n=BB, ent_a=(T_FINGER, f),
                                      ent_b=(T_WORLD, 0),
                                      friction=1.0 * self.static_fric[s]))
-            # arm sphere chain vs plane / geoms / statics / door
+            # arm sphere chain vs plane / geoms / statics / door — lanes a
+            # sphere can never reach (workspace envelope, ops/lane_cull.py)
+            # are culled at build time
+            from pybullet_multigoal_gym_tpu.ops import lane_cull as LC
+            reach = LC.arm_lane_mask(self.spec, self.ik_workspace)
             for sp in range(N_ARM_SPHERES):
-                plan.append(dict(kind='arm_plane', sphere=sp, n=1,
-                                 ent_a=(T_ARM, sp), ent_b=(T_WORLD, 0),
-                                 friction=0.5 * self.spec.plane_friction))
+                if reach['plane'][sp]:
+                    plan.append(dict(kind='arm_plane', sphere=sp, n=1,
+                                     ent_a=(T_ARM, sp), ent_b=(T_WORLD, 0),
+                                     friction=0.5 * self.spec.plane_friction))
                 for g in range(self.ng):
-                    if self.body_inv_mass[self.geom_body[g]] == 0:
-                        arm_fr = 0.5 * self.body_friction[self.geom_body[g]]
-                    else:
-                        arm_fr = 0.5 * self.body_friction[self.geom_body[g]]
+                    if not reach['geom'][sp][g]:
+                        continue
+                    arm_fr = 0.5 * self.body_friction[self.geom_body[g]]
                     plan.append(dict(kind='arm_geom', sphere=sp, geom=g, n=1,
                                      ent_a=(T_ARM, sp),
                                      ent_b=(T_BODY, self.geom_body[g]),
                                      friction=arm_fr))
                 for s in range(len(self.static_half)):
+                    if not reach['static'][sp][s]:
+                        continue
                     plan.append(dict(kind='arm_static', sphere=sp, static=s,
                                      n=1, ent_a=(T_ARM, sp), ent_b=(T_WORLD, 0),
                                      friction=0.5 * self.static_fric[s]))
-                if self.door is not None:
+                if self.door is not None and reach['door'][sp]:
                     for d in range(len(self.door_geom_half)):
                         plan.append(dict(kind='arm_door', sphere=sp, dgeom=d,
                                          n=1, ent_a=(T_ARM, sp),
@@ -276,7 +288,7 @@ class Engine:
         self.plan = plan
         self.n_contacts = sum(p['n'] for p in plan)
         # flattened per-lane entity descriptors
-        ta, ia, tb, ib, fr, ll, cp = [], [], [], [], [], [], []
+        ta, ia, tb, ib, fr, ll, cp, qc = [], [], [], [], [], [], [], []
         for p in plan:
             ta += [p['ent_a'][0]] * p['n']
             ia += [p['ent_a'][1]] * p['n']
@@ -292,18 +304,30 @@ class Engine:
             else:
                 link = -1
             ll += [link] * p['n']
-            # compliance back-coupling into the arm joints. ON for arm-sphere
-            # lanes and finger-vs-world lanes (the table must be able to STOP
-            # the arm, VERDICT #3); OFF for finger-vs-movable lanes
+            # compliance back-coupling into the arm joints, two flags:
+            #
+            # k-couple (lane_couple): the arm YIELDS in-solve (k_arm term).
+            # ON for arm-sphere lanes and finger-vs-world lanes (the table
+            # must be able to STOP the arm); OFF for finger-vs-movable lanes
             # (finger_geom / finger_door): there the finger stays laterally
-            # kinematic — Bullet's 200 N motor constraints hold the arm
-            # trajectory against a 2 kg block, and the frozen-arm impulse
-            # scheme overshoots into backward arm kicks if allowed to yield
-            # (seen as the slide puck launched off the table). The arm point
-            # velocity (lane_link mask) still applies to every finger lane.
+            # kinematic during the solve — Bullet's 200 N motor constraints
+            # hold the arm trajectory against a 2 kg block, and in-solve
+            # yielding overshoots into backward arm kicks (seen as the slide
+            # puck launched off the table).
+            #
+            # qd-couple (lane_qd_couple): the lane's ACCUMULATED impulse is
+            # applied to the joint velocities after the loop (capped at the
+            # motor's per-substep authority). ON for every arm-velocity lane
+            # INCLUDING finger-vs-movable: without it the arm never feels an
+            # object it pushes, so a block trapped against a wall/door gets
+            # ground THROUGH the obstacle by the relentless servo instead of
+            # stalling at force balance (seen as the chest_push block
+            # launched to 10 m/s by the door sweep it was pushed into).
             couple = (p['ent_a'][0] == T_ARM
                       or p['kind'] in ('finger_plane', 'finger_static'))
             cp += [1.0 if couple else 0.0] * p['n']
+            qd_couple = couple or T_FINGER in (p['ent_a'][0], p['ent_b'][0])
+            qc += [1.0 if qd_couple else 0.0] * p['n']
         z = max(self.n_contacts, 1)
         self.lane_type_a = np.zeros((z,), np.int32)
         self.lane_idx_a = np.zeros((z,), np.int32)
@@ -312,6 +336,7 @@ class Engine:
         self.lane_friction = np.zeros((z,), np.float32)
         self.lane_link = np.full((z,), -1, np.int32)
         self.lane_couple = np.zeros((z,), np.float32)
+        self.lane_qd_couple = np.zeros((z,), np.float32)
         if self.n_contacts:
             self.lane_type_a[:] = ta
             self.lane_idx_a[:] = ia
@@ -320,6 +345,7 @@ class Engine:
             self.lane_friction[:] = fr
             self.lane_link[:] = ll
             self.lane_couple[:] = cp
+            self.lane_qd_couple[:] = qc
         # does any lane touch the arm entity (spheres or fingers)?
         self.has_arm_lanes = bool(np.any(self.lane_link >= 0))
 
@@ -663,10 +689,15 @@ class Engine:
         total_imp = nrm * lam_n[:, None] + t1 * lam_t1[:, None] + t2 * lam_t2[:, None]
 
         # arm coupling: apply the accumulated impulses to the joint
-        # velocities once (frozen-arm scheme, see docstring)
+        # velocities once (frozen-arm scheme, see docstring). Every
+        # arm-velocity lane contributes (lane_qd_couple), including the
+        # finger-vs-movable lanes that stay stiff in-solve — this is what
+        # makes the arm STALL against a trapped object instead of grinding
+        # it through obstacles.
         if arm_jac is not None:
+            qd_cpl = jnp.asarray(self.lane_qd_couple)
             jd = jnp.einsum('cji,ci->cj', arm_jac,
-                            total_imp * (arm_sgn * couple)[:, None])  # (nc,7)
+                            total_imp * (arm_sgn * qd_cpl)[:, None])  # (nc,7)
             # contact-induced joint velocity change is capped at the motor's
             # own per-substep authority (force*dt/I): the servo can always
             # counteract it, so deep spawn penetrations (e.g. the on-table

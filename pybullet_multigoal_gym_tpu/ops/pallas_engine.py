@@ -433,19 +433,23 @@ _box_cyl_lanes = box_cyl_lanes
 # ------------------------------------------------------------------ the kernel
 def _build_kernel(spec: S.SceneSpec, solver_iters: int, erp: float,
                   slop: float, n_substeps: int, arm_collision: bool,
-                  gripper: str = 'parallel_jaw'):
-    assert spec.n_bodies == 1 and spec.ns_static == 0 and spec.door is None, \
+                  gripper: str = 'parallel_jaw', ik_workspace: bool = True):
+    assert spec.n_bodies <= 1 and spec.ns_static == 0 and spec.door is None, \
         'pallas engine v1 supports single-free-body scenes only'
-    a = spec.np_arrays()
-    geom_type = int(a['geom_type'][0])
-    half = tuple(float(x) for x in a['geom_half'][0])
-    mass = float(a['body_mass'][0])
-    inv_mass = 1.0 / mass
-    fric = float(a['body_friction'][0])
-    inertia = S.body_inertia_diag(mass, half, geom_type)
-    inv_inertia = (1.0 / inertia).astype(np.float32)
-    plane_mu = fric * spec.plane_friction
-    finger_mu = fric * 1.0
+    from pybullet_multigoal_gym_tpu.ops import lane_cull as LC
+    reach_m = LC.arm_lane_mask(spec, ik_workspace)
+    has_body = spec.n_bodies == 1
+    if has_body:
+        a = spec.np_arrays()
+        geom_type = int(a['geom_type'][0])
+        half = tuple(float(x) for x in a['geom_half'][0])
+        mass = float(a['body_mass'][0])
+        inv_mass = 1.0 / mass
+        fric = float(a['body_friction'][0])
+        inertia = S.body_inertia_diag(mass, half, geom_type)
+        inv_inertia = (1.0 / inertia).astype(np.float32)
+        plane_mu = fric * spec.plane_friction
+        finger_mu = fric * 1.0
     if gripper == 'robotiq85':
         fhalf = tuple(float(x) for x in KM.ROBOTIQ_PAD_HALF)
         finger_mass = KM.ROBOTIQ_FINGER_INERTIA
@@ -499,12 +503,13 @@ def _build_kernel(spec: S.SceneSpec, solver_iters: int, erp: float,
         fqd = jnp.stack(new_fqd)
 
         # 4. gravity (no .at[] — scatter is unsupported in Mosaic)
-        bv = jnp.stack([bv[0], bv[1], bv[2] - D.GRAVITY * dt])
+        if has_body:
+            bv = jnp.stack([bv[0], bv[1], bv[2] - D.GRAVITY * dt])
+            Ra = qmat(bq)
 
         # 5. contacts (lane order mirrors dynamics._build_contact_plan)
-        Ra = qmat(bq)
         lanes = []
-        if geom_type == S.BOX:
+        if has_body and geom_type == S.BOX:
             lanes += _box_plane_lanes(bp, bq, half, spec.plane_z, plane_mu,
                                       body_sgn=1.0)
             for f in range(2):
@@ -512,7 +517,7 @@ def _build_kernel(spec: S.SceneSpec, solver_iters: int, erp: float,
                     bp, Ra, half, fpos[f], Rb7, fhalf, finger_mu,
                     body_sgn=1.0, finger_idx=f, fin_sgn=-1.0, link=6,
                     arm_sgn=-1.0, ee_sgn=-1.0)
-        else:
+        elif has_body:
             lanes += _cyl_plane_lanes(bp, bq, half[0], half[2], spec.plane_z,
                                       plane_mu, body_sgn=1.0)
             for f in range(2):
@@ -526,17 +531,21 @@ def _build_kernel(spec: S.SceneSpec, solver_iters: int, erp: float,
                     fpos[f], ch['r7'], fhalf, spec.plane_z,
                     1.0 * spec.plane_friction, finger_idx=f, fin_sgn=1.0,
                     link=6, arm_sgn=1.0, couple=1.0, ee_sgn=1.0)
+            # statically unreachable sphere/partner pairs are culled
+            # (ops/lane_cull.py: workspace envelope)
             for sp in range(len(sph_radii)):
                 link = int(sph_links[sp])
                 ee = 1.0 if link == 6 else 0.0
-                lanes += sphere_plane_lane(
-                    ch['spheres'][sp], float(sph_radii[sp]), spec.plane_z,
-                    0.5 * spec.plane_friction, link=link, arm_sgn=1.0,
-                    couple=1.0, ee_sgn=ee)
-                lanes += sphere_box_lane(
-                    ch['spheres'][sp], float(sph_radii[sp]), bp, Ra,
-                    half, 0.5 * fric, body_sgn=-1.0, link=link,
-                    arm_sgn=1.0, couple=1.0, ee_sgn=ee)
+                if reach_m['plane'][sp]:
+                    lanes += sphere_plane_lane(
+                        ch['spheres'][sp], float(sph_radii[sp]), spec.plane_z,
+                        0.5 * spec.plane_friction, link=link, arm_sgn=1.0,
+                        couple=1.0, ee_sgn=ee)
+                if has_body and reach_m['geom'][sp][0]:
+                    lanes += sphere_box_lane(
+                        ch['spheres'][sp], float(sph_radii[sp]), bp, Ra,
+                        half, 0.5 * fric, body_sgn=-1.0, link=link,
+                        arm_sgn=1.0, couple=1.0, ee_sgn=ee)
 
         # stack lanes: (L,...). Lane constants (mu, masks) must be built
         # from SCALAR literals — pallas kernels may not capture materialised
@@ -565,21 +574,35 @@ def _build_kernel(spec: S.SceneSpec, solver_iters: int, erp: float,
         fin_sgn = lane_const([l.fin_sgn for l in lanes])
         fin_sgn_v = lane_const([l.fin_sgn for l in lanes], extra_dim=True)
         arm_sgn_v = lane_const([l.arm_sgn for l in lanes], extra_dim=True)
-        cpl = lane_const([l.couple for l in lanes])
-        cpl_v = lane_const([l.couple for l in lanes], extra_dim=True)
-        jmask = [lane_const([1.0 if l.link >= j else 0.0 for l in lanes],
-                            extra_dim=True) for j in range(7)]
         ee_sgn_v = lane_const([l.ee_sgn for l in lanes], extra_dim=True)
+
+        # static lane-group boundaries: body-only lanes first, then lanes
+        # with an arm point velocity (link>=0), with the arm-YIELDING
+        # (couple=1) lanes contiguous at the tail — the expensive arm terms
+        # run on static slices instead of masked full-size arrays
+        n_link = next((i for i, l in enumerate(lanes) if l.link >= 0), L)
+        n_cpl = next((i for i, l in enumerate(lanes) if l.couple > 0), L)
+        assert all(l.link >= 0 for l in lanes[n_link:])
+        assert all(l.couple > 0 and l.arm_sgn == 1.0 for l in lanes[n_cpl:])
+        assert all(l.couple == 0 for l in lanes[:n_cpl])
+        jmask_l = [lane_const([1.0 if l.link >= j else 0.0
+                               for l in lanes[n_link:]], extra_dim=True)
+                   for j in range(7)]
+        jmask_c = [lane_const([1.0 if l.link >= j else 0.0
+                               for l in lanes[n_cpl:]]) for j in range(7)]
+        arm_sgn_l = lane_const([l.arm_sgn for l in lanes[n_link:]],
+                               extra_dim=True)
 
         # 6. solve (fused Jacobi, mass splitting — mirrors dynamics._solve)
         # inv_I_w[i,k] = sum_j Ra[i,j] * invI_j * Ra[k,j] (python-scalar invI)
-        inv_I_w = jnp.stack([
-            jnp.stack([
-                sum(Ra[i, j] * float(inv_inertia[j]) * Ra[k, j]
-                    for j in range(3))
-                for k in range(3)])
-            for i in range(3)])                              # (3,3,8,128)
-        r_a = pts - bp[None]
+        if has_body:
+            inv_I_w = jnp.stack([
+                jnp.stack([
+                    sum(Ra[i, j] * float(inv_inertia[j]) * Ra[k, j]
+                        for j in range(3))
+                    for k in range(3)])
+                for i in range(3)])                          # (3,3,8,128)
+            r_a = pts - bp[None]
         # tangent frame
         up = jnp.where(jnp.abs(nrm[:, 2:3]) < 0.9,
                        jnp.stack([jnp.zeros_like(pen), jnp.zeros_like(pen),
@@ -598,7 +621,8 @@ def _build_kernel(spec: S.SceneSpec, solver_iters: int, erp: float,
         body_count = jnp.maximum(jnp.sum(act * body_in, 0), 1.0)
         fin_count = [jnp.maximum(jnp.sum(act * is_fin[f], 0), 1.0)
                      for f in range(2)]
-        arm_count = jnp.maximum(jnp.sum(act * cpl, 0), 1.0)
+        arm_count = (jnp.maximum(jnp.sum(act[n_cpl:], 0), 1.0)
+                     if n_cpl < L else None)
 
         faxis_l = jnp.stack([faxis[0], faxis[1]])        # (2,3,8,128)
         lane_axis = (faxis_l[0][None] * is_fin_v[0]
@@ -615,40 +639,56 @@ def _build_kernel(spec: S.SceneSpec, solver_iters: int, erp: float,
                               u[:, 2] * v[:, 0] - u[:, 0] * v[:, 2],
                               u[:, 0] * v[:, 1] - u[:, 1] * v[:, 0]], 1)
 
-        if arm_collision or True:
-            # frozen arm point velocity per lane (constant through the
-            # iterations): v_arm(p) = sum_j qd_j * (z_j x (p - o_j)) masked
-            v_arm = 0.0
+        # frozen arm point velocity (constant through the iterations):
+        # v_arm(p) = sum_j qd_j * (z_j x (p - o_j)), only for the link>=0
+        # lane tail; body-only lanes get a static zero prefix
+        if n_link < L:
+            pts_l = pts[n_link:]
+            v_tail = 0.0
             for j in range(7):
                 zx = lane_cross(
-                    jnp.broadcast_to(ch['z'][j][None], pts.shape),
-                    pts - ch['o'][j][None])
-                v_arm = v_arm + zx * qd[j][None, None] * jmask[j]
+                    jnp.broadcast_to(ch['z'][j][None], pts_l.shape),
+                    pts_l - ch['o'][j][None])
+                v_tail = v_tail + zx * qd[j][None, None] * jmask_l[j]
+            v_arm = (jnp.concatenate(
+                [jnp.zeros((n_link,) + pts.shape[1:], F32), v_tail])
+                if n_link else v_tail)
+        else:
+            v_arm = jnp.zeros_like(pts)
 
-            def k_arm(d):
-                k = 0.0
-                for j in range(7):
-                    # J_j . d = z_j . ((p - o_j) x d)
-                    pd = lane_cross(pts - ch['o'][j][None], d)
-                    jd = jnp.sum(pd * ch['z'][j][None], 1)
-                    k = k + jd * jd * float(inv_arm_inertia[j]) \
-                        * jmask[j][:, 0]
-                # only couple=1 lanes let the arm yield (dynamics.k_arm)
-                return k * cpl * arm_count[None]
+        def k_arm(d):
+            """Arm effective inverse mass along d — computed only on the
+            couple=1 lane tail (dynamics._solve k_arm); zero elsewhere."""
+            if n_cpl >= L:
+                return 0.0
+            pts_c = pts[n_cpl:]
+            dc = d[n_cpl:]
+            k = 0.0
+            for j in range(7):
+                # J_j . d = z_j . ((p - o_j) x d)
+                pd = lane_cross(pts_c - ch['o'][j][None], dc)
+                jd = jnp.sum(pd * ch['z'][j][None], 1)
+                k = k + jd * jd * float(inv_arm_inertia[j]) * jmask_c[j]
+            k = k * arm_count[None]
+            return (jnp.concatenate(
+                [jnp.zeros((n_cpl,) + k.shape[1:], F32), k])
+                if n_cpl else k)
 
         def k_dir(d):
-            rxd = jnp.stack([r_a[:, 1] * d[:, 2] - r_a[:, 2] * d[:, 1],
-                             r_a[:, 2] * d[:, 0] - r_a[:, 0] * d[:, 2],
-                             r_a[:, 0] * d[:, 1] - r_a[:, 1] * d[:, 0]], 1)
-            Iw_rxd = jnp.stack(
-                [sum(inv_I_w[i, j] * rxd[:, j] for j in range(3))
-                 for i in range(3)], axis=1)
-            k_body = ((inv_mass + jnp.sum(rxd * Iw_rxd, 1)) * body_count[None]
-                      * body_in)
             da = jnp.sum(d * lane_axis, 1)
             k_fin = (da * da / finger_mass) * lane_fin_count \
                 * (is_fin[0] + is_fin[1])
-            return k_body + k_fin + k_arm(d)
+            k = k_fin + k_arm(d)
+            if has_body:
+                rxd = jnp.stack([r_a[:, 1] * d[:, 2] - r_a[:, 2] * d[:, 1],
+                                 r_a[:, 2] * d[:, 0] - r_a[:, 0] * d[:, 2],
+                                 r_a[:, 0] * d[:, 1] - r_a[:, 1] * d[:, 0]], 1)
+                Iw_rxd = jnp.stack(
+                    [sum(inv_I_w[i, j] * rxd[:, j] for j in range(3))
+                     for i in range(3)], axis=1)
+                k = k + ((inv_mass + jnp.sum(rxd * Iw_rxd, 1))
+                         * body_count[None] * body_in)
+            return k
 
         kn_raw = k_dir(nrm)
         solvable = act * (kn_raw > 1e-8).astype(F32)
@@ -660,17 +700,19 @@ def _build_kernel(spec: S.SceneSpec, solver_iters: int, erp: float,
                             D.BIAS_CAP)
 
         def point_vel(bv_, bw_, fqd_):
-            v_body = bv_[None] + jnp.stack(
-                [bw_[1][None] * r_a[:, 2] - bw_[2][None] * r_a[:, 1],
-                 bw_[2][None] * r_a[:, 0] - bw_[0][None] * r_a[:, 2],
-                 bw_[0][None] * r_a[:, 1] - bw_[1][None] * r_a[:, 0]], 1)
             v_fin_dof = (faxis_l[0][None] * fqd_[0][None, None] * is_fin_v[0]
                          + faxis_l[1][None] * fqd_[1][None, None]
                          * is_fin_v[1])
             # signed relative velocity va - vb per lane:
             #   body side * body_sgn + (arm point + finger DOF) * their signs
-            return (v_body * body_sgn_v + v_arm * arm_sgn_v
-                    + v_fin_dof * fin_sgn_v)
+            v = v_arm * arm_sgn_v + v_fin_dof * fin_sgn_v
+            if has_body:
+                v_body = bv_[None] + jnp.stack(
+                    [bw_[1][None] * r_a[:, 2] - bw_[2][None] * r_a[:, 1],
+                     bw_[2][None] * r_a[:, 0] - bw_[0][None] * r_a[:, 2],
+                     bw_[0][None] * r_a[:, 1] - bw_[1][None] * r_a[:, 0]], 1)
+                v = v + v_body * body_sgn_v
+            return v
 
         def iteration(_, scarry):
             bv_, bw_, fqd_, ln, lt1, lt2 = scarry
@@ -689,14 +731,15 @@ def _build_kernel(spec: S.SceneSpec, solver_iters: int, erp: float,
             nlt2 = jnp.clip(lt2 + dlt2, -lim, lim)
             dlt2 = nlt2 - lt2
             imp = nrm * dln[:, None] + t1 * dlt1[:, None] + t2 * dlt2[:, None]
-            # apply to the body (signed by side)
-            imp_b = imp * body_sgn_v
-            bv_ = bv_ + jnp.sum(imp_b, 0) * inv_mass
-            ang = jnp.stack(
-                [r_a[:, 1] * imp_b[:, 2] - r_a[:, 2] * imp_b[:, 1],
-                 r_a[:, 2] * imp_b[:, 0] - r_a[:, 0] * imp_b[:, 2],
-                 r_a[:, 0] * imp_b[:, 1] - r_a[:, 1] * imp_b[:, 0]], 1)
-            bw_ = bw_ + mat3vec(inv_I_w, jnp.sum(ang, 0))
+            if has_body:
+                # apply to the body (signed by side)
+                imp_b = imp * body_sgn_v
+                bv_ = bv_ + jnp.sum(imp_b, 0) * inv_mass
+                ang = jnp.stack(
+                    [r_a[:, 1] * imp_b[:, 2] - r_a[:, 2] * imp_b[:, 1],
+                     r_a[:, 2] * imp_b[:, 0] - r_a[:, 0] * imp_b[:, 2],
+                     r_a[:, 0] * imp_b[:, 1] - r_a[:, 1] * imp_b[:, 0]], 1)
+                bw_ = bw_ + mat3vec(inv_I_w, jnp.sum(ang, 0))
             # apply to the finger DOFs (signed by side)
             dfq = jnp.sum(imp * lane_axis, 1) * fin_sgn / finger_mass
             fqd_ = jnp.stack([
@@ -712,17 +755,23 @@ def _build_kernel(spec: S.SceneSpec, solver_iters: int, erp: float,
         tot_imp = (nrm * ln[:, None] + t1 * lt1[:, None] + t2 * lt2[:, None])
 
         # arm coupling: accumulated impulses -> joint velocities, applied
-        # once after the loop (frozen-arm scheme, dynamics._solve)
-        imp_arm = tot_imp * arm_sgn_v * cpl_v
-        new_qd = []
-        for j in range(7):
-            pd = lane_cross(pts - ch['o'][j][None], imp_arm)
-            jd = jnp.sum(jnp.sum(pd * ch['z'][j][None], 1) * jmask[j][:, 0], 0)
-            # capped at the motor's per-substep authority (dynamics._solve)
-            cap = float(KM.ARM_PD_FORCE * dt * inv_arm_inertia[j])
-            new_qd.append(qd[j] + jnp.clip(jd * float(inv_arm_inertia[j]),
-                                           -cap, cap))
-        qd = jnp.stack(new_qd)
+        # once after the loop (frozen-arm scheme, dynamics._solve). EVERY
+        # arm-velocity lane contributes (qd-couple, dynamics lane_qd_couple)
+        # — including finger-vs-movable lanes signed arm_sgn=-1, so the arm
+        # stalls against trapped objects instead of grinding through them.
+        if n_link < L:
+            imp_arm = tot_imp[n_link:] * arm_sgn_l
+            pts_t = pts[n_link:]
+            new_qd = []
+            for j in range(7):
+                pd = lane_cross(pts_t - ch['o'][j][None], imp_arm)
+                jd = jnp.sum(jnp.sum(pd * ch['z'][j][None], 1)
+                             * jmask_l[j][:, 0], 0)
+                # capped at the motor's per-substep authority
+                cap = float(KM.ARM_PD_FORCE * dt * inv_arm_inertia[j])
+                new_qd.append(qd[j] + jnp.clip(jd * float(inv_arm_inertia[j]),
+                                               -cap, cap))
+            qd = jnp.stack(new_qd)
 
         # EE force sensor: impulse applied onto the gripper
         # (fingers + palm/link-7 spheres) / dt
@@ -734,12 +783,13 @@ def _build_kernel(spec: S.SceneSpec, solver_iters: int, erp: float,
         for j in range(7):
             new_q.append(jnp.clip(q[j] + qd[j] * dt, jl_lo[j], jl_hi[j]))
         q = jnp.stack(new_q)
-        bp = bp + bv_ * dt
-        w_norm = jnp.sqrt(jnp.maximum(jnp.sum(bw_ * bw_, 0), 1e-18))
-        half_ang = w_norm * dt * 0.5
-        s = jnp.where(w_norm > 1e-9, jnp.sin(half_ang) / w_norm, 0.0)
-        dq_rot = jnp.concatenate([jnp.cos(half_ang)[None], bw_ * s[None]])
-        bq = qnormalize(qmul(dq_rot, bq))
+        if has_body:
+            bp = bp + bv_ * dt
+            w_norm = jnp.sqrt(jnp.maximum(jnp.sum(bw_ * bw_, 0), 1e-18))
+            half_ang = w_norm * dt * 0.5
+            s = jnp.where(w_norm > 1e-9, jnp.sin(half_ang) / w_norm, 0.0)
+            dq_rot = jnp.concatenate([jnp.cos(half_ang)[None], bw_ * s[None]])
+            bq = qnormalize(qmul(dq_rot, bq))
         fq = jnp.clip(fq + fqd_ * dt, fq_lo, fq_hi)
 
         return (q, qd, fq, fqd_, bp, bq, bv_, bw_), ee_force
@@ -775,13 +825,14 @@ class PallasEngine:
     def __init__(self, spec: S.SceneSpec, solver_iters: int = 8,
                  erp: float = 0.2, slop: float = 5e-4,
                  interpret: bool = None, arm_collision: bool = True,
-                 gripper: str = 'parallel_jaw'):
+                 gripper: str = 'parallel_jaw', ik_workspace: bool = True):
         self.spec = spec
         self.gripper = gripper
         self.solver_iters = solver_iters
         self.erp = erp
         self.slop = slop
         self.arm_collision = arm_collision
+        self.ik_workspace = ik_workspace
         if interpret is None:
             interpret = jax.default_backend() != 'tpu'
         self.interpret = interpret
@@ -791,7 +842,7 @@ class PallasEngine:
         if n_substeps not in self._kernels:
             self._kernels[n_substeps] = _build_kernel(
                 self.spec, self.solver_iters, self.erp, self.slop, n_substeps,
-                self.arm_collision, self.gripper)
+                self.arm_collision, self.gripper, self.ik_workspace)
         return self._kernels[n_substeps]
 
     def control_step(self, state: D.PhysicsState, controls: D.Controls,

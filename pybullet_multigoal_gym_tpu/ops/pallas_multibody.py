@@ -195,9 +195,11 @@ def _sphere_box(c, radius, cb, Rb, hb, mu, side_a, side_b):
     return [_Lane(p, n, pen, (pen > -1e-4).astype(F32), mu, side_a, side_b)]
 
 
-def count_lanes(spec: S.SceneSpec, arm_collision: bool = True) -> int:
+def count_lanes(spec: S.SceneSpec, arm_collision: bool = True,
+                ik_workspace: bool = True) -> int:
     """Host-side lane count for the budget check (must mirror the lane
-    generation in _build_kernel)."""
+    generation in _build_kernel, including the lane_cull sphere culling)."""
+    from pybullet_multigoal_gym_tpu.ops import lane_cull as LC
     a = spec.np_arrays() if spec.n_bodies else None
     n = 0
     free, pinned = [], []
@@ -227,21 +229,29 @@ def count_lanes(spec: S.SceneSpec, arm_collision: bool = True) -> int:
     if arm_collision:
         n += 2 * 4                               # finger vs plane
         n += 2 * 5 * ns                          # finger vs statics
-        n += N_SPH * (1 + ng_all + ns + nd)      # arm spheres
+        reach = LC.arm_lane_mask(spec, ik_workspace)
+        for sp in range(N_SPH):
+            n += int(reach['plane'][sp])
+            n += sum(int(x) for x in reach['geom'][sp])
+            n += sum(int(x) for x in reach['static'][sp])
+            n += nd * int(reach['door'][sp])
     return n
 
 
-def supports_scene(spec: S.SceneSpec, arm_collision: bool = True) -> bool:
+def supports_scene(spec: S.SceneSpec, arm_collision: bool = True,
+                   ik_workspace: bool = True) -> bool:
     if spec.n_bodies < 1:
         return False
     if not any(m > 0 for m in spec.np_arrays()['body_mass']):
         return False                    # all-pinned scene: no lanes to solve
-    return count_lanes(spec, arm_collision) <= LANE_BUDGET
+    return count_lanes(spec, arm_collision, ik_workspace) <= LANE_BUDGET
 
 
 def _build_kernel(spec: S.SceneSpec, solver_iters: int, erp: float,
                   slop: float, n_substeps: int, arm_collision: bool,
-                  gripper: str = 'parallel_jaw'):
+                  gripper: str = 'parallel_jaw', ik_workspace: bool = True):
+    from pybullet_multigoal_gym_tpu.ops import lane_cull as LC
+    reach = LC.arm_lane_mask(spec, ik_workspace)
     a = spec.np_arrays()
     B = spec.n_bodies
     masses = a['body_mass']
@@ -462,27 +472,34 @@ def _build_kernel(spec: S.SceneSpec, solver_iters: int, erp: float,
                     lanes += _one_sided(fpos[f], Rb7, fhalf, sc, sR, sh,
                                         float(a['static_friction'][si]),
                                         ('finger', f), ('world',))
+            # statically unreachable sphere/partner pairs are culled
+            # (ops/lane_cull.py workspace envelope; count_lanes mirrors this)
             for sp in range(N_SPH):
                 r_s = float(sph_radii[sp])
-                lanes += _sphere_plane(ch['spheres'][sp], r_s,
-                                       spec.plane_z,
-                                       0.5 * float(spec.plane_friction),
-                                       ('arm', sp))
+                if reach['plane'][sp]:
+                    lanes += _sphere_plane(ch['spheres'][sp], r_s,
+                                           spec.plane_z,
+                                           0.5 * float(spec.plane_friction),
+                                           ('arm', sp))
                 for b in range(B):
                     for g in geoms_of[b]:
+                        if not reach['geom'][sp][g]:
+                            continue
                         h_g = tuple(float(x) for x in a['geom_half'][g])
                         side_b = ('body', b) if masses[b] > 0 else ('world',)
                         lanes += _sphere_box(
                             ch['spheres'][sp], r_s, centers[g], R_of[b], h_g,
                             0.5 * float(frictions[b]), ('arm', sp), side_b)
                 for si in range(len(spec.static_half)):
+                    if not reach['static'][sp][si]:
+                        continue
                     sh = tuple(float(x) for x in a['static_half'][si])
                     lanes += _sphere_box(
                         ch['spheres'][sp], r_s, _cv(a['static_pos'][si]),
                         qmat(_cq([1.0, 0.0, 0.0, 0.0])), sh,
                         0.5 * float(a['static_friction'][si]),
                         ('arm', sp), ('world',))
-                if door is not None:
+                if door is not None and reach['door'][sp]:
                     for dc, dR, dh in door_geom_cr:
                         lanes += _sphere_box(ch['spheres'][sp], r_s, dc, dR,
                                              tuple(float(x) for x in dh), 0.5,
@@ -754,10 +771,13 @@ def _build_kernel(spec: S.SceneSpec, solver_iters: int, erp: float,
                    + t2_f * lt2[:, None])
 
         # arm coupling: accumulated impulses -> joint velocities, applied
-        # once after the loop (frozen-arm scheme, dynamics._solve)
+        # once after the loop (frozen-arm scheme, dynamics._solve). Every
+        # arm-velocity segment contributes (qd-couple, dynamics
+        # lane_qd_couple) — including finger-vs-movable lanes, so the arm
+        # stalls against trapped objects instead of grinding through them.
         dqd = [0.0] * 7
         for si, (s0, s1, sa, sb, _) in enumerate(segs):
-            if seg_cpl[si] <= 0:
+            if seg_asgn[si] == 0.0:
                 continue
             sl = slice(s0, s1)
             imp_s = tot_imp[sl] * seg_asgn[si]
@@ -839,16 +859,18 @@ class PallasMultiBodyEngine:
 
     def __init__(self, spec: S.SceneSpec, solver_iters: int = 8,
                  erp: float = 0.2, slop: float = 5e-4, interpret=None,
-                 arm_collision: bool = True, gripper: str = 'parallel_jaw'):
-        assert supports_scene(spec, arm_collision), \
+                 arm_collision: bool = True, gripper: str = 'parallel_jaw',
+                 ik_workspace: bool = True):
+        assert supports_scene(spec, arm_collision, ik_workspace), \
             'scene exceeds the pallas lane budget (%d > %d)' % (
-                count_lanes(spec, arm_collision), LANE_BUDGET)
+                count_lanes(spec, arm_collision, ik_workspace), LANE_BUDGET)
         self.spec = spec
         self.solver_iters = solver_iters
         self.erp = erp
         self.slop = slop
         self.arm_collision = arm_collision
         self.gripper = gripper
+        self.ik_workspace = ik_workspace
         if interpret is None:
             interpret = jax.default_backend() != 'tpu'
         self.interpret = interpret
@@ -858,7 +880,7 @@ class PallasMultiBodyEngine:
         if n_sub not in self._kernels:
             self._kernels[n_sub] = _build_kernel(
                 self.spec, self.solver_iters, self.erp, self.slop, n_sub,
-                self.arm_collision, self.gripper)
+                self.arm_collision, self.gripper, self.ik_workspace)
         return self._kernels[n_sub]
 
     def control_step(self, state: D.PhysicsState, controls: D.Controls,
