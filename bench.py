@@ -63,6 +63,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--task', default='push')
     ap.add_argument('--num-envs', type=int, default=4096)
+    ap.add_argument('--num-block', type=int, default=5)
+    ap.add_argument('--image', type=int, default=0,
+                    help='image-observation mode: render size (84 / 128)')
     ap.add_argument('--steps', type=int, default=50)
     ap.add_argument('--warmup', type=int, default=3)
     ap.add_argument('--multichip', action='store_true',
@@ -83,13 +86,33 @@ def main():
     from pybullet_multigoal_gym_tpu.config import EnvConfig
     from pybullet_multigoal_gym_tpu.envs.vec_env import VecMGEnv
 
-    venv = VecMGEnv(EnvConfig(task=args.task), num_envs=args.num_envs)
+    kw = {}
+    if args.task.startswith('primitive'):
+        kw['primitive'] = 'discrete_push'
+    if args.task in ('block_stack', 'block_rearrange', 'chest_push',
+                     'chest_pick_and_place'):
+        kw['num_block'] = args.num_block
+    if args.image:
+        # BASELINE config #5: image observations + goal images
+        # (base_env.py:140-168); rgbd obs via depth_image
+        kw.update(image_observation=True, goal_image=True, depth_image=True,
+                  render_width=args.image, render_height=args.image)
+    venv = VecMGEnv(EnvConfig(task=args.task, **kw), num_envs=args.num_envs)
     key = jax.random.PRNGKey(0)
     state, obs = venv.reset(key)
 
-    def random_actions(k):
-        return jax.random.uniform(
-            k, (args.num_envs, venv.cfg.action_dim), jnp.float32, -1.0, 1.0)
+    if venv.cfg.primitive == 'discrete_push':
+        w, h = venv.core.action_map_width, venv.core.action_map_height
+
+        def random_actions(k):
+            u = jax.random.uniform(k, (args.num_envs, 3))
+            return jnp.stack([u[:, 0] * 20, u[:, 1] * w, u[:, 2] * h],
+                             axis=-1).astype(jnp.float32)
+    else:
+        def random_actions(k):
+            return jax.random.uniform(
+                k, (args.num_envs, venv.cfg.action_dim), jnp.float32,
+                -1.0, 1.0)
 
     acts = jax.jit(random_actions)
 
@@ -108,8 +131,11 @@ def main():
 
     steps_per_s = args.num_envs * args.steps / dt
     n_chips = max(len(set(d.id for d in jax.devices())), 1)
+    tag = '%s_%d' % (args.task, args.num_envs)
+    if args.image:
+        tag += '_img%d' % args.image
     print(json.dumps({
-        'metric': 'env_steps_per_s_per_chip_%s_%d' % (args.task, args.num_envs),
+        'metric': 'env_steps_per_s_per_chip_' + tag,
         'value': round(steps_per_s / n_chips, 1),
         'unit': 'env-steps/s/chip',
         'vs_baseline': round(steps_per_s / n_chips / PER_CHIP_BASELINE, 4),

@@ -165,11 +165,31 @@ class KukaPrimitiveEnv(KukaEnvBase):
                                             gripper=self.cfg.gripper)
         return self._pallas_ik_prim
 
+    # sub-targets per waypoint leg: one IK hop per 20 sim calls lets the
+    # joint-space servo path bow ~2 cm off the 10 cm stroke line; the bowed
+    # pad then overlaps the pushed object LATERALLY and the solver resolves
+    # that overlap sideways, slapping the object off the push line. The
+    # reference executes plain hops (kuka.py:303-312), but its evident
+    # intent is a straight sweep — sub-targets every 4 sim calls keep the
+    # commanded tip on the line without changing the 80-sim-call budget.
+    INTERP_K = 5
+
+    def _interp_waypoints(self, wps):
+        """(..., 4, 3) -> (..., 4*K, 3): straight-line sub-targets."""
+        K = self.INTERP_K
+        tip0 = jnp.broadcast_to(jnp.asarray(self.tip_rest, F32),
+                                wps[..., :1, :].shape)
+        prev = jnp.concatenate([tip0, wps[..., :-1, :]], axis=-2)
+        frac = (jnp.arange(K, dtype=F32) + 1.0) / K            # (K,)
+        seg = prev[..., :, None, :] + (wps - prev)[..., :, None, :] \
+            * frac[:, None]                                    # (...,4,K,3)
+        return seg.reshape(seg.shape[:-3] + (4 * K, 3))
+
     def execute_primitive_batched(self, phys, wps, num_envs):
         """Batched execute_primitive (kuka.py:303-312) on the Pallas engines:
-        teleport to rest, 4x (IK waypoint + 20 sim calls), teleport back.
-        ``wps``: (N, 4, 3). Shared by the vec wrapper so the XLA `step` below
-        and the Pallas path cannot drift."""
+        teleport to rest, 4x (20 sim calls along the interpolated leg),
+        teleport back. ``wps``: (N, 4, 3). Shared by the vec wrapper so the
+        XLA `step` below and the Pallas path cannot drift."""
         rest = jnp.broadcast_to(jnp.asarray(self.rest_pose), (num_envs, 7))
         zeros7 = jnp.zeros((num_envs, 7), F32)
         f_open = jax.vmap(self._grip_target)(
@@ -177,14 +197,15 @@ class KukaPrimitiveEnv(KukaEnvBase):
         pik = self.get_pallas_ik_primitive()
         peng = self.get_pallas_engine()
         phys = phys._replace(q=rest, qd=zeros7)
-        for w in range(wps.shape[1]):
-            q_t = pik.solve(wps[:, w], q_init=phys.q, rest_pose=rest)
+        sub = self._interp_waypoints(wps)                      # (N, 4K, 3)
+        for w in range(sub.shape[1]):
+            q_t = pik.solve(sub[:, w], q_init=phys.q, rest_pose=rest)
             phys = peng.control_step(
                 phys, D.Controls(
                     q_target=q_t, f_target=f_open,
                     door_motor_on=jnp.zeros((num_envs,), bool),
                     door_target=jnp.zeros((num_envs,), F32)),
-                n_sim_calls=20)
+                n_sim_calls=20 // self.INTERP_K)
         return phys._replace(q=rest, qd=zeros7)
 
     def step(self, state: core.EnvState, action):
@@ -200,10 +221,12 @@ class KukaPrimitiveEnv(KukaEnvBase):
                            rest_pose=jnp.asarray(self.rest_pose),
                            gripper=self.cfg.gripper)
             ctrl = self._controls(q_t, self.gripper_abs_joint_limit)
-            ph = self.engine.control_step(ph, ctrl, n_sim_calls=20)
+            ph = self.engine.control_step(
+                ph, ctrl, n_sim_calls=20 // self.INTERP_K)
             return ph, None
 
-        phys, _ = jax.lax.scan(run_waypoint, phys, waypoints)
+        phys, _ = jax.lax.scan(run_waypoint, phys,
+                               self._interp_waypoints(waypoints))
         phys = phys._replace(q=jnp.asarray(self.rest_pose), qd=jnp.zeros(7, F32))
         state = state._replace(phys=phys, steps=state.steps + 1)
         state, obs, reward, achieved = self.step_finish(state)

@@ -240,9 +240,11 @@ ARM_SPHERE_OFFSET = np.array([
     [0.0, 0.0, 0.0],                 # joint-7 origin
     GRIPPER_BASE_OFFSET,             # gripper palm
 ], dtype=np.float64)
-# Palm sphere r=0.03: the real gripper-base link is ~3 cm wide; a fatter
-# guard interpenetrates the chest door handle at the multi-step family's
-# on-table start pose (tip (-0.52,0,0.176), handle face at x=-0.547) and
-# ratchets the free door open at spawn.
+# Wrist r=0.043 / palm r=0.028: the real link-7 collar and gripper-base
+# link are ~4 cm / ~3 cm wide; fatter guards interpenetrate the chest door
+# HANDLE at the multi-step family's on-table start pose (tip (-0.52,0,0.176)
+# puts the wrist centre 45 mm and the palm centre 28.5 mm from the handle's
+# closest point), and a standing 1-5 mm graze there pumps a kN-scale wrist
+# oscillation at spawn (tests/test_acceptance.py::test_chest_quiescence).
 ARM_SPHERE_RADIUS = np.array(
-    [0.065, 0.06, 0.06, 0.055, 0.055, 0.05, 0.03], dtype=np.float64)
+    [0.065, 0.06, 0.06, 0.055, 0.055, 0.043, 0.028], dtype=np.float64)

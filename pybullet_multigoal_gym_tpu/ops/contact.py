@@ -112,10 +112,104 @@ def corners_vs_box(ca, qa, ha, cb, qb, hb):
     return corners, n_world, pen, active
 
 
+def box_box_edge(ca, qa, ha, cb, qb, hb):
+    """Edge-edge box-box candidate: 1 contact on the closest-point pair of
+    the supporting edges, active when an edge-cross axis is the minimum
+    separating axis of the full 15-axis SAT.
+
+    Face manifolds (box_box) mis-handle the corner-on-edge regime — e.g.
+    the insertion rectangle descending yawed into the slot pocket
+    (assets/objects/insertion/slot.urdf): its bottom edges ride the bars'
+    inner edges, and a face normal (vertical) only supports, while the true
+    edge-cross normal is tilted and centres the peg into the hole (the
+    self-aligning funnel MuJoCo/Bullet produce; tests/test_slot_entry.py).
+    Follows the usual face-bias convention (the edge axis must beat the
+    best face axis by 20% + 1 mm) so face-dominated stacking keeps its
+    warm face manifolds.
+
+    Returns (pt (..,1,3), nrm, pen, active); normal points B toward A."""
+    dt = ca.dtype
+    Ra = quatm.to_matrix(qa)
+    Rb = quatm.to_matrix(qb)
+    A = jnp.moveaxis(Ra, -1, -2)                 # (...,3,3) rows = axes of A
+    Bx = jnp.moveaxis(Rb, -1, -2)
+    t = ca - cb
+    # face-axis SAT (for the bias comparison and the sat_ok gate)
+    axes_f = jnp.concatenate([A, Bx], axis=-2)   # (...,6,3)
+    ra_f = jnp.sum(jnp.abs(axes_f @ Ra) * ha[..., None, :], axis=-1)
+    rb_f = jnp.sum(jnp.abs(axes_f @ Rb) * hb[..., None, :], axis=-1)
+    ov_f = ra_f + rb_f - jnp.abs(
+        jnp.einsum('...ki,...i->...k', axes_f, t))
+    min_f = jnp.min(ov_f, axis=-1)
+    # 9 edge-cross axes
+    ax_a = A[..., :, None, :]                    # (...,3,1,3)
+    ax_b = Bx[..., None, :, :]                   # (...,1,3,3)
+    L = jnp.cross(jnp.broadcast_to(ax_a, ax_a.shape[:-3] + (3, 3, 3)),
+                  jnp.broadcast_to(ax_b, ax_b.shape[:-3] + (3, 3, 3)))
+    L = L.reshape(L.shape[:-3] + (9, 3))
+    Ln = jnp.linalg.norm(L, axis=-1)
+    ok_e = Ln > 1e-6                             # parallel pairs excluded
+    Lu = L / jnp.maximum(Ln, 1e-6)[..., None]
+    ra_e = jnp.sum(jnp.abs(jnp.einsum('...ki,...ij->...kj', Lu, Ra))
+                   * ha[..., None, :], axis=-1)
+    rb_e = jnp.sum(jnp.abs(jnp.einsum('...ki,...ij->...kj', Lu, Rb))
+                   * hb[..., None, :], axis=-1)
+    tl_e = jnp.einsum('...ki,...i->...k', Lu, t)
+    ov_e = ra_e + rb_e - jnp.abs(tl_e)
+    ov_e = jnp.where(ok_e, ov_e, jnp.inf)
+    k = jnp.argmin(ov_e, axis=-1)
+    min_e = jnp.take_along_axis(ov_e, k[..., None], axis=-1)[..., 0]
+    n = jnp.take_along_axis(Lu, k[..., None, None], axis=-2)[..., 0, :]
+    tk = jnp.take_along_axis(tl_e, k[..., None], axis=-1)[..., 0]
+    n = n * jnp.where(tk >= 0, 1.0, -1.0)[..., None]    # B -> A
+    sat_ok = (jnp.all(ov_f > -MARGIN, axis=-1)
+              & jnp.all(ov_e > -MARGIN, axis=-1))
+    # the edge candidate must beat the best face axis DECISIVELY (20% +
+    # 1 mm): a borderline margin is a discrete switch that flips on float
+    # noise, and the XLA engine and the Pallas kernels computing it with
+    # different summation orders then diverge visibly on chaotic
+    # multi-body scenes (engine-parity tests)
+    edge_wins = min_e < jnp.minimum(min_f * 0.8, min_f) - 1e-3
+    # supporting edges: corner of A extreme along -n (excluding the edge
+    # axis ia = k // 3), corner of B extreme along +n (excluding ib = k % 3)
+    ia, ib = k // 3, k % 3
+    da = jnp.einsum('...i,...ij->...j', -n, Ra)         # (...,3) -n in A
+    db = jnp.einsum('...i,...ij->...j', n, Rb)
+    sa_c = jnp.where(jnp.arange(3) == ia[..., None], 0.0,
+                     jnp.where(da >= 0, 1.0, -1.0)) * ha
+    sb_c = jnp.where(jnp.arange(3) == ib[..., None], 0.0,
+                     jnp.where(db >= 0, 1.0, -1.0)) * hb
+    pa = ca + jnp.einsum('...j,...ij->...i', sa_c, Ra)  # edge A midpoint
+    pb = cb + jnp.einsum('...j,...ij->...i', sb_c, Rb)
+    ea = jnp.take_along_axis(A, ia[..., None, None], axis=-2)[..., 0, :]
+    eb = jnp.take_along_axis(Bx, ib[..., None, None], axis=-2)[..., 0, :]
+    # closest points of the two edge lines: pa + s*ea, pb + u*eb
+    r = pa - pb
+    a_ee = 1.0
+    b_ee = jnp.einsum('...i,...i->...', ea, eb)
+    c_ee = jnp.einsum('...i,...i->...', ea, r)
+    d_ee = jnp.einsum('...i,...i->...', eb, r)
+    den = jnp.maximum(a_ee - b_ee * b_ee, 1e-9)
+    s = (b_ee * d_ee - c_ee) / den
+    u = d_ee + b_ee * s
+    ha_i = jnp.take_along_axis(ha, ia[..., None], axis=-1)[..., 0]
+    hb_i = jnp.take_along_axis(hb, ib[..., None], axis=-1)[..., 0]
+    s = jnp.clip(s, -ha_i, ha_i)
+    u = jnp.clip(u, -hb_i, hb_i)
+    pt = 0.5 * (pa + s[..., None] * ea + pb + u[..., None] * eb)
+    pen = min_e
+    active = sat_ok & edge_wins & (pen > -MARGIN) & jnp.isfinite(pen)
+    pen = jnp.where(jnp.isfinite(pen), pen, 0.0)
+    return (pt[..., None, :], n[..., None, :], pen[..., None],
+            active[..., None])
+
+
 def box_box(ca, qa, ha, cb, qb, hb):
     """Two-sided box-box contact with a SAT face normal: 9 candidates
     (4 incident-face corners of A in B, 4 of B in A, 1 cross-piercing
-    fallback).
+    fallback). Pure corner-on-edge overlaps get an extra edge-cross
+    candidate from ``box_box_edge`` where the caller requests it (the
+    engines append it for geom-geom/static/door pairs).
 
     Corner-in-box tests (both directions) supply the contact *points* and the
     active mask, but the shared manifold *normal* is the global minimum-
@@ -182,6 +276,55 @@ def box_box(ca, qa, ha, cb, qb, hb):
     nrm = jnp.broadcast_to(n[..., None, :], pts.shape)
     pen = jnp.concatenate([pen1, pen2, pen_cross[..., None]], axis=-1)
     act = jnp.concatenate([a1, a2, act_cross[..., None]], axis=-1) \
+        & sat_ok[..., None]
+    return pts, nrm, pen, act
+
+
+def box_box_one_sided(ca, qa, ha, cb, qb, hb):
+    """A-side box-box manifold: 5 candidates (4 incident-face corners of A
+    in B + 1 cross-piercing fallback), SAT face normal.
+
+    For a small free geom against a big static wall / door panel / pinned
+    body, B's corners inside A are geometrically marginal — and the Pallas
+    multibody kernel already uses exactly this manifold for those pairs
+    (pallas_multibody._one_sided). The XLA engine uses it for the same
+    pairs so the two engines solve identical lane sets (engine parity:
+    manifold asymmetry gave visibly different bounces off the chest door).
+
+    All normals point from B toward A."""
+    dt = ca.dtype
+    Ra = quatm.to_matrix(qa)
+    Rb = quatm.to_matrix(qb)
+    axes = jnp.concatenate([jnp.moveaxis(Ra, -1, -2),
+                            jnp.moveaxis(Rb, -1, -2)], axis=-2)  # (...,6,3)
+    t = ca - cb
+    ra = jnp.sum(jnp.abs(axes @ Ra) * ha[..., None, :], axis=-1)
+    rb = jnp.sum(jnp.abs(axes @ Rb) * hb[..., None, :], axis=-1)
+    tl = jnp.einsum('...ki,...i->...k', axes, t)
+    overlap = ra + rb - jnp.abs(tl)              # (...,6)
+    sat_ok = jnp.all(overlap > -MARGIN, axis=-1)
+    k = jnp.argmin(overlap, axis=-1)
+    L = jnp.take_along_axis(axes, k[..., None, None], axis=-2)[..., 0, :]
+    tk = jnp.take_along_axis(tl, k[..., None], axis=-1)[..., 0]
+    n = L * jnp.where(tk >= 0, 1.0, -1.0)[..., None]
+    rb_n = jnp.sum(jnp.abs(jnp.einsum('...i,...ij->...j', n, Rb)) * hb,
+                   axis=-1)
+    p1 = incident_face_corners(ca, qa, ha, -n)     # A corners toward B
+    pl1 = quatm.rotate_inv(qb[..., None, :], p1 - cb[..., None, :])
+    _, _, a1 = _point_in_box(pl1, hb[..., None, :])
+    pen1 = rb_n[..., None] - jnp.einsum('...i,...ci->...c', n,
+                                        p1 - cb[..., None, :])
+    p_on_b = cb + quatm.rotate(qb, jnp.clip(
+        quatm.rotate_inv(qb, ca - cb), -hb, hb))
+    p_on_a = ca + quatm.rotate(qa, jnp.clip(
+        quatm.rotate_inv(qa, cb - ca), -ha, ha))
+    p_cross = 0.5 * (p_on_a + p_on_b)
+    pen_cross = jnp.min(overlap, axis=-1)
+    act_cross = sat_ok & ~jnp.any(a1, axis=-1)
+    pts = jnp.concatenate([p1, p_cross[..., None, :]], axis=-2)
+    nrm = jnp.broadcast_to(n[..., None, :], pts.shape)
+    pen = jnp.concatenate([pen1, pen_cross[..., None]], axis=-1)
+    act = jnp.concatenate([a1, act_cross[..., None]], axis=-1) \
         & sat_ok[..., None]
     return pts, nrm, pen, act
 

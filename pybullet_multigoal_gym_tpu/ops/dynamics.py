@@ -50,7 +50,11 @@ SIM_CALLS_PER_STEP = 5          # kuka.py:223-225
 ARM_SERVO_RATE = KM.ARM_PD_POSITION_GAIN / DT_SUB     # 15 s^-1
 FINGER_VEL_LIMIT = 0.2          # URDF finger joint <limit velocity>
 ARM_VEL_LIMIT = 10.0
-BIAS_CAP = 0.5                  # max penetration-recovery velocity (m/s)
+BIAS_CAP = 0.15                 # max penetration-recovery velocity (m/s):
+# deep overlaps (a pad sweeping THROUGH a pushed object, spawn
+# penetrations) recover at 0.3 mm per substep instead of ejecting bodies
+# ballistically — a 0.5 cap watermelon-seeded the heavy shape-assemble
+# objects whenever the slow push built a few mm of face penetration
 
 # entity type codes for contact sides
 T_BODY, T_FINGER, T_DOOR, T_WORLD, T_ARM = 0, 1, 2, 3, 4
@@ -78,6 +82,14 @@ class Controls(NamedTuple):
     f_target: jnp.ndarray        # (2,) finger joint targets (signed, see mimic)
     door_motor_on: jnp.ndarray   # () bool
     door_target: jnp.ndarray     # ()
+
+
+def _with_edge(fn, ca, qa, ha, cb, qb, hb):
+    """box_box manifold + the appended edge-edge candidate (10 lanes)."""
+    o = fn(ca, qa, ha, cb, qb, hb)
+    oe = C.box_box_edge(ca, qa, ha, cb, qb, hb)
+    return tuple(jnp.concatenate([a, b], axis=-2 if a.ndim >= 2 else -1)
+                 for a, b in zip(o, oe))
 
 
 def arm_sphere_positions(link_pos, link_rot, dtype=jnp.float32):
@@ -195,16 +207,26 @@ class Engine:
         plan = []   # list of dicts per module; lanes concatenated at runtime
         BB = 9      # box_box manifold size (2x4 incident-face corners
                     # + 1 cross-piercing fallback, contact.py:box_box)
+        BBE = BB + 1    # + edge-edge candidate (contact.py:box_box_edge)
+        OS = 5      # one-sided manifold (contact.py:box_box_one_sided):
+                    # free geom vs static wall / door panel / pinned body —
+                    # the SAME manifold the multibody kernel uses for those
+                    # pairs, so both engines solve identical lane sets
+        OSE = OS + 1    # one-sided + edge candidate
 
-        # geom vs support plane
+        # geom vs support plane (pinned bodies never move: no lanes)
         for g in range(self.ng):
+            if self.body_inv_mass[self.geom_body[g]] == 0:
+                continue
             n_pts = 4   # 4 bottom-face corners (box) / 4 rim points (cyl)
             plan.append(dict(kind='plane', geom=g, n=n_pts,
                              ent_a=(T_BODY, self.geom_body[g]),
                              ent_b=(T_WORLD, 0),
                              friction=self.body_friction[self.geom_body[g]]
                              * self.spec.plane_friction))
-        # geom vs geom (different bodies)
+        # geom vs geom (different bodies); when one body is PINNED (mass 0,
+        # e.g. the insertion slot) the pair uses the one-sided manifold with
+        # the FREE geom as side A, matching the kernel's free-vs-pinned path
         for i in range(self.ng):
             for j in range(i + 1, self.ng):
                 bi, bj = self.geom_body[i], self.geom_body[j]
@@ -212,9 +234,19 @@ class Engine:
                     continue
                 if self.body_inv_mass[bi] == 0 and self.body_inv_mass[bj] == 0:
                     continue
-                plan.append(dict(kind='geom_geom', geom=i, geom2=j, n=BB,
-                                 ent_a=(T_BODY, bi), ent_b=(T_BODY, bj),
-                                 friction=self.body_friction[bi] * self.body_friction[bj]))
+                fr = self.body_friction[bi] * self.body_friction[bj]
+                if self.body_inv_mass[bj] == 0:
+                    plan.append(dict(kind='geom_pinned', geom=i, geom2=j,
+                                     n=OSE, ent_a=(T_BODY, bi),
+                                     ent_b=(T_BODY, bj), friction=fr))
+                elif self.body_inv_mass[bi] == 0:
+                    plan.append(dict(kind='geom_pinned', geom=j, geom2=i,
+                                     n=OSE, ent_a=(T_BODY, bj),
+                                     ent_b=(T_BODY, bi), friction=fr))
+                else:
+                    plan.append(dict(kind='geom_geom', geom=i, geom2=j, n=BBE,
+                                     ent_a=(T_BODY, bi), ent_b=(T_BODY, bj),
+                                     friction=fr))
         # finger vs geom
         for f in range(2):
             for g in range(self.ng):
@@ -226,7 +258,7 @@ class Engine:
         # geom vs static boxes
         for g in range(self.ng):
             for s in range(len(self.static_half)):
-                plan.append(dict(kind='geom_static', geom=g, static=s, n=BB,
+                plan.append(dict(kind='geom_static', geom=g, static=s, n=OSE,
                                  ent_a=(T_BODY, self.geom_body[g]),
                                  ent_b=(T_WORLD, 0),
                                  friction=self.body_friction[self.geom_body[g]]
@@ -235,7 +267,7 @@ class Engine:
             # geom vs door
             for g in range(self.ng):
                 for d in range(len(self.door_geom_half)):
-                    plan.append(dict(kind='geom_door', geom=g, dgeom=d, n=BB,
+                    plan.append(dict(kind='geom_door', geom=g, dgeom=d, n=OSE,
                                      ent_a=(T_BODY, self.geom_body[g]),
                                      ent_b=(T_DOOR, 0),
                                      friction=self.body_friction[self.geom_body[g]] * 0.5))
@@ -253,7 +285,7 @@ class Engine:
                                  friction=1.0 * self.spec.plane_friction))
                 for s in range(len(self.static_half)):
                     plan.append(dict(kind='finger_static', finger=f, static=s,
-                                     n=BB, ent_a=(T_FINGER, f),
+                                     n=OS, ent_a=(T_FINGER, f),
                                      ent_b=(T_WORLD, 0),
                                      friction=1.0 * self.static_fric[s]))
             # arm sphere chain vs plane / geoms / statics / door — lanes a
@@ -403,8 +435,16 @@ class Engine:
                                          self.spec.plane_z)
             elif k == 'geom_geom':
                 i, j = p['geom'], p['geom2']
-                o = C.box_box(geom_c[i], geom_q[i], jnp.asarray(self.geom_half[i]),
-                              geom_c[j], geom_q[j], jnp.asarray(self.geom_half[j]))
+                o = _with_edge(C.box_box, geom_c[i], geom_q[i],
+                               jnp.asarray(self.geom_half[i]),
+                               geom_c[j], geom_q[j],
+                               jnp.asarray(self.geom_half[j]))
+            elif k == 'geom_pinned':
+                i, j = p['geom'], p['geom2']     # i = free geom (side A)
+                o = _with_edge(C.box_box_one_sided, geom_c[i], geom_q[i],
+                               jnp.asarray(self.geom_half[i]),
+                               geom_c[j], geom_q[j],
+                               jnp.asarray(self.geom_half[j]))
             elif k == 'finger_geom':
                 f, g = p['finger'], p['geom']
                 if self.geom_type[g] == S.BOX:
@@ -417,14 +457,16 @@ class Engine:
                         float(self.geom_half[g][2]))
             elif k == 'geom_static':
                 g, s = p['geom'], p['static']
-                o = C.box_box(geom_c[g], geom_q[g], jnp.asarray(self.geom_half[g]),
-                              jnp.asarray(self.static_pos[s]), id_q,
-                              jnp.asarray(self.static_half[s]))
+                o = _with_edge(C.box_box_one_sided, geom_c[g], geom_q[g],
+                               jnp.asarray(self.geom_half[g]),
+                               jnp.asarray(self.static_pos[s]), id_q,
+                               jnp.asarray(self.static_half[s]))
             elif k == 'geom_door':
                 g, d = p['geom'], p['dgeom']
-                o = C.box_box(geom_c[g], geom_q[g], jnp.asarray(self.geom_half[g]),
-                              dgeom_c[d], dgeom_q[d],
-                              jnp.asarray(self.door_geom_half[d]))
+                o = _with_edge(C.box_box_one_sided, geom_c[g], geom_q[g],
+                               jnp.asarray(self.geom_half[g]),
+                               dgeom_c[d], dgeom_q[d],
+                               jnp.asarray(self.door_geom_half[d]))
             elif k == 'finger_door':
                 f, d = p['finger'], p['dgeom']
                 o = C.box_box(dgeom_c[d], dgeom_q[d],
@@ -436,9 +478,10 @@ class Engine:
                                 self.spec.plane_z)
             elif k == 'finger_static':
                 f, s = p['finger'], p['static']
-                o = C.box_box(finger_pos[f], finger_rot[f], fhalf,
-                              jnp.asarray(self.static_pos[s]), id_q,
-                              jnp.asarray(self.static_half[s]))
+                o = C.box_box_one_sided(finger_pos[f], finger_rot[f], fhalf,
+                                        jnp.asarray(self.static_pos[s]),
+                                        id_q,
+                                        jnp.asarray(self.static_half[s]))
             elif k == 'arm_plane':
                 sp = p['sphere']
                 o = C.sphere_plane(sphere_pos[sp], float(radii[sp]),
@@ -607,6 +650,7 @@ class Engine:
             v_arm_const = jnp.einsum('cji,j->ci', arm_jac, state.qd)
         else:
             v_arm_const = jnp.zeros_like(pts)
+
 
         def point_vel(etype, eidx, r, v_lin, v_ang, fqd, door_qd):
             v_body = v_lin[eidx] + jnp.cross(v_ang[eidx], r)
@@ -797,15 +841,29 @@ class Engine:
             # device-varying type under shard_map
             ee_force = state.ee_contact_force * 0.0
 
-        # 7. integrate everything with the corrected velocities
-        q = jnp.clip(state.q + qd * dt,
-                     jnp.asarray(KM.JOINT_LIMIT_LOWER, jnp.float32),
-                     jnp.asarray(KM.JOINT_LIMIT_UPPER, jnp.float32))
+        # 7. integrate everything with the corrected velocities. Joints that
+        # hit a hard stop LOSE the velocity component into the stop: the
+        # position clip alone leaves a phantom joint velocity that the
+        # contact solver reads as real surface speed — a finger pinned at
+        # its limit by a contact "vibrated" at 0.28 m/s and velocity-matched
+        # a pushed object to it (11 kN force spikes, objects ballistically
+        # ejected by a 0.125 m/s sweep).
+        jlo = jnp.asarray(KM.JOINT_LIMIT_LOWER, jnp.float32)
+        jhi = jnp.asarray(KM.JOINT_LIMIT_UPPER, jnp.float32)
+        q = jnp.clip(state.q + qd * dt, jlo, jhi)
+        qd = jnp.where((q >= jhi) & (qd > 0), 0.0,
+                       jnp.where((q <= jlo) & (qd < 0), 0.0, qd))
         body_pos = state.body_pos + v_lin * dt
         body_quat = quatm.integrate_angvel(state.body_quat, v_ang, dt)
         fq = jnp.clip(state.fq + fqd * dt, self.fq_lo, self.fq_hi)
+        fqd = jnp.where((fq >= self.fq_hi) & (fqd > 0), 0.0,
+                        jnp.where((fq <= self.fq_lo) & (fqd < 0), 0.0, fqd))
         if self.door is not None:
             door_q = jnp.clip(state.door_q + door_qd * dt, 0.0, self.door.limit)
+            door_qd = jnp.where((door_q >= self.door.limit) & (door_qd > 0),
+                                0.0,
+                                jnp.where((door_q <= 0.0) & (door_qd < 0),
+                                          0.0, door_qd))
         else:
             door_q = state.door_q
 

@@ -347,6 +347,69 @@ def sat_box_box_lanes(ca, Ra, ha, cb, Rb, hb, mu, **meta):
     return lanes
 
 
+def edge_lane_tiles(ca, Ra, ha, cb, Rb, hb):
+    """Edge-edge candidate: tile port of contact.py:box_box_edge.
+
+    Returns (pt, n, pen, active01); active when an edge-cross axis is the
+    15-axis SAT minimum (with the same 20% + 1 mm face bias)."""
+    t = ca - cb
+
+    def proj(R, h, L):
+        return sum(abs(vdot(R[:, i], L)) * h[i] for i in range(3))
+
+    face_axes = [Ra[:, k] for k in range(3)] + [Rb[:, k] for k in range(3)]
+    min_f, sat_ok = None, None
+    for L in face_axes:
+        ov = proj(Ra, ha, L) + proj(Rb, hb, L) - jnp.abs(vdot(t, L))
+        ok = (ov > -1e-4).astype(F32)
+        sat_ok = ok if sat_ok is None else sat_ok * ok
+        min_f = ov if min_f is None else jnp.minimum(min_f, ov)
+    best = None
+    for i in range(3):
+        for j in range(3):
+            L = vcross(Ra[:, i], Rb[:, j])
+            Ln = jnp.sqrt(jnp.maximum(vdot(L, L), 1e-18))
+            okL = (Ln > 1e-6).astype(F32)
+            Lu = L / Ln[None]
+            ov = proj(Ra, ha, Lu) + proj(Rb, hb, Lu) - jnp.abs(vdot(t, Lu))
+            ov = ov * okL + (1.0 - okL) * 1e9
+            sat_ok = sat_ok * (ov > -1e-4).astype(F32)
+            sgn = jnp.where(vdot(t, Lu) >= 0, 1.0, -1.0)
+            n_ij = Lu * sgn[None]
+            pa = ca
+            for k in range(3):
+                if k != i:
+                    s = jnp.where(vdot(-n_ij, Ra[:, k]) >= 0, 1.0, -1.0)
+                    pa = pa + s[None] * ha[k] * Ra[:, k]
+            pb = cb
+            for k in range(3):
+                if k != j:
+                    s = jnp.where(vdot(n_ij, Rb[:, k]) >= 0, 1.0, -1.0)
+                    pb = pb + s[None] * hb[k] * Rb[:, k]
+            ea, eb = Ra[:, i], Rb[:, j]
+            r = pa - pb
+            b_ = vdot(ea, eb)
+            c_ = vdot(ea, r)
+            d_ = vdot(eb, r)
+            den = jnp.maximum(1.0 - b_ * b_, 1e-9)
+            s_ = (b_ * d_ - c_) / den
+            u_ = d_ + b_ * s_
+            s_ = jnp.clip(s_, -ha[i], ha[i])
+            u_ = jnp.clip(u_, -hb[j], hb[j])
+            pt = 0.5 * (pa + s_[None] * ea + pb + u_[None] * eb)
+            if best is None:
+                best = (ov, n_ij, pt)
+            else:
+                better = ov < best[0]
+                best = (jnp.where(better, ov, best[0]),
+                        jnp.where(better[None], n_ij, best[1]),
+                        jnp.where(better[None], pt, best[2]))
+    min_e, n, pt = best
+    edge_wins = (min_e < jnp.minimum(min_f * 0.8, min_f) - 1e-3).astype(F32)
+    active = sat_ok * edge_wins * (min_e > -1e-4).astype(F32)
+    return pt, n, min_e, active
+
+
 def sphere_plane_lane(c, radius, plane_z, mu, **meta):
     """Sphere vs support plane: 1 lane (contact.py:sphere_plane)."""
     pen = _c(plane_z + radius) - c[2]
@@ -778,11 +841,19 @@ def _build_kernel(spec: S.SceneSpec, solver_iters: int, erp: float,
         fin_imp = jnp.sum(tot_imp * ee_sgn_v, 0)
         ee_force = fin_imp / dt
 
-        # 7. integrate everything with the corrected velocities
-        new_q = []
+        # 7. integrate everything with the corrected velocities; joints at a
+        # hard stop lose the velocity INTO the stop (dynamics.substep: a
+        # phantom limit-pinned velocity reads as real surface speed to the
+        # contact solver)
+        new_q, new_qd = [], []
         for j in range(7):
-            new_q.append(jnp.clip(q[j] + qd[j] * dt, jl_lo[j], jl_hi[j]))
+            qj = jnp.clip(q[j] + qd[j] * dt, jl_lo[j], jl_hi[j])
+            new_q.append(qj)
+            new_qd.append(jnp.where((qj >= jl_hi[j]) & (qd[j] > 0), 0.0,
+                                    jnp.where((qj <= jl_lo[j]) & (qd[j] < 0),
+                                              0.0, qd[j])))
         q = jnp.stack(new_q)
+        qd = jnp.stack(new_qd)
         if has_body:
             bp = bp + bv_ * dt
             w_norm = jnp.sqrt(jnp.maximum(jnp.sum(bw_ * bw_, 0), 1e-18))
@@ -791,6 +862,8 @@ def _build_kernel(spec: S.SceneSpec, solver_iters: int, erp: float,
             dq_rot = jnp.concatenate([jnp.cos(half_ang)[None], bw_ * s[None]])
             bq = qnormalize(qmul(dq_rot, bq))
         fq = jnp.clip(fq + fqd_ * dt, fq_lo, fq_hi)
+        fqd_ = jnp.where((fq >= fq_hi) & (fqd_ > 0), 0.0,
+                         jnp.where((fq <= fq_lo) & (fqd_ < 0), 0.0, fqd_))
 
         return (q, qd, fq, fqd_, bp, bq, bv_, bw_), ee_force
 

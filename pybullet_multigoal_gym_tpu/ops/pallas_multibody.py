@@ -39,8 +39,8 @@ from pybullet_multigoal_gym_tpu.model import kuka_model as KM
 from pybullet_multigoal_gym_tpu.ops import dynamics as D
 from pybullet_multigoal_gym_tpu.ops import scene as S
 from pybullet_multigoal_gym_tpu.ops.pallas_engine import (
-    F32, LANE, SUB, TILE, _c, _cq, _cv, box_cyl_lanes, fk_chain,
-    incident_corner_tiles, clamp_into_box_tiles, mat3vec,
+    F32, LANE, SUB, TILE, _c, _cq, _cv, box_cyl_lanes, edge_lane_tiles,
+    fk_chain, incident_corner_tiles, clamp_into_box_tiles, mat3vec,
     point_in_box_tiles, qmat, qmul, qnormalize, qrotate, sat_face_normal,
     vcross, vdot)
 
@@ -107,8 +107,10 @@ def _ee_sgn(side_a, side_b):
     return 0.0
 
 
-def _two_sided(ca, Ra, ha, cb, Rb, hb, mu, side_a, side_b):
-    """9-lane two-sided SAT manifold (4+4 incident corners + cross)."""
+def _two_sided(ca, Ra, ha, cb, Rb, hb, mu, side_a, side_b, edge=False):
+    """9-lane two-sided SAT manifold (4+4 incident corners + cross);
+    ``edge`` appends the edge-edge candidate (contact.py:box_box_edge) —
+    requested for geom-geom pairs, matching the XLA engine's plan."""
     n, sat_ok, ra_n, rb_n, min_ov = sat_face_normal(ca, Ra, ha, cb, Rb, hb)
     lanes, inside_any = [], None
     for p in incident_corner_tiles(ca, Ra, ha, -n):   # A corners toward B
@@ -125,12 +127,16 @@ def _two_sided(ca, Ra, ha, cb, Rb, hb, mu, side_a, side_b):
                      + clamp_into_box_tiles(cb, ca, Ra, ha))
     lanes.append(_Lane(p_cross, n, min_ov, sat_ok * (1.0 - inside_any), mu,
                        side_a, side_b))
+    if edge:
+        pt, ne, pe, ae = edge_lane_tiles(ca, Ra, ha, cb, Rb, hb)
+        lanes.append(_Lane(pt, ne, pe, ae, mu, side_a, side_b))
     return lanes
 
 
-def _one_sided(ca, Ra, ha, cb, Rb, hb, mu, side_a, side_b):
+def _one_sided(ca, Ra, ha, cb, Rb, hb, mu, side_a, side_b, edge=False):
     """5-lane manifold: A's incident corners tested inside B + cross
-    fallback (A = the free, smaller geom; B = static wall / pinned / door)."""
+    fallback (A = the free, smaller geom; B = static wall / pinned / door);
+    ``edge`` appends the edge-edge candidate."""
     n, sat_ok, ra_n, rb_n, min_ov = sat_face_normal(ca, Ra, ha, cb, Rb, hb)
     lanes, inside_any = [], None
     for p in incident_corner_tiles(ca, Ra, ha, -n):
@@ -142,6 +148,9 @@ def _one_sided(ca, Ra, ha, cb, Rb, hb, mu, side_a, side_b):
                      + clamp_into_box_tiles(cb, ca, Ra, ha))
     lanes.append(_Lane(p_cross, n, min_ov, sat_ok * (1.0 - inside_any), mu,
                        side_a, side_b))
+    if edge:
+        pt, ne, pe, ae = edge_lane_tiles(ca, Ra, ha, cb, Rb, hb)
+        lanes.append(_Lane(pt, ne, pe, ae, mu, side_a, side_b))
     return lanes
 
 
@@ -216,15 +225,15 @@ def count_lanes(spec: S.SceneSpec, arm_collision: bool = True,
         for g in geoms_of[b]:
             n += 4                                           # plane
             n += 2 * (9 if a['geom_type'][g] == S.BOX else 2)   # fingers
-            n += 5 * ns                                      # statics
+            n += 6 * ns                                      # statics (+edge)
             for b2 in pinned:
-                n += 5 * len(geoms_of[b2])
-            n += 5 * nd
+                n += 6 * len(geoms_of[b2])                   # (+edge)
+            n += 6 * nd                                      # (+edge)
     for b2 in pinned:
         n += 2 * 9 * len(geoms_of[b2])           # finger vs pinned geoms
     for i, b in enumerate(free):
         for b2 in free[i + 1:]:
-            n += 9 * len(geoms_of[b]) * len(geoms_of[b2])
+            n += 10 * len(geoms_of[b]) * len(geoms_of[b2])   # (+edge)
     n += 2 * 9 * nd                              # finger vs door
     if arm_collision:
         n += 2 * 4                               # finger vs plane
@@ -414,19 +423,21 @@ def _build_kernel(spec: S.SceneSpec, solver_iters: int, erp: float,
                     sR = qmat(_cq([1.0, 0.0, 0.0, 0.0]))
                     mu_s = float(frictions[b] * a['static_friction'][si])
                     lanes += _one_sided(centers[g], R_of[b], half, sc, sR, sh,
-                                        mu_s, ('body', b), ('world',))
+                                        mu_s, ('body', b), ('world',),
+                                        edge=True)
                 for b2 in pinned:
                     for g2 in geoms_of[b2]:
                         h2 = tuple(float(x) for x in a['geom_half'][g2])
                         lanes += _one_sided(
                             centers[g], R_of[b], half, centers[g2], R_of[b2],
                             h2, float(frictions[b] * frictions[b2]),
-                            ('body', b), ('world',))
+                            ('body', b), ('world',), edge=True)
                 if door is not None:
                     for dc, dR, dh in door_geom_cr:
                         lanes += _one_sided(centers[g], R_of[b], half, dc, dR,
                                             dh, float(frictions[b] * 0.5),
-                                            ('body', b), ('door',))
+                                            ('body', b), ('door',),
+                                            edge=True)
         # finger vs PINNED geoms (e.g. the insertion slot): feed the EE force
         # sensor and stop the fingers at slot walls. Pinned side A =
         # immovable: zero velocity, no application.
@@ -448,7 +459,7 @@ def _build_kernel(spec: S.SceneSpec, solver_iters: int, erp: float,
                             centers[g2], R_of[b2],
                             tuple(float(x) for x in a['geom_half'][g2]),
                             float(frictions[b] * frictions[b2]),
-                            ('body', b), ('body', b2))
+                            ('body', b), ('body', b2), edge=True)
         if door is not None:
             for f in range(2):
                 for dc, dR, dh in door_geom_cr:
@@ -802,9 +813,19 @@ def _build_kernel(spec: S.SceneSpec, solver_iters: int, erp: float,
         ee_force = (ee_force / dt if not isinstance(ee_force, float)
                     else jnp.zeros((3, SUB, LANE), F32))
 
-        # 8. integrate everything with the corrected velocities
-        q = jnp.stack([jnp.clip(q[j] + qd[j] * dt, jl_lo[j], jl_hi[j])
-                       for j in range(7)])
+        # 8. integrate everything with the corrected velocities; joints at a
+        # hard stop lose the velocity INTO the stop (dynamics.substep: a
+        # phantom limit-pinned velocity reads as real surface speed to the
+        # contact solver)
+        new_q, new_qd = [], []
+        for j in range(7):
+            qj = jnp.clip(q[j] + qd[j] * dt, jl_lo[j], jl_hi[j])
+            new_q.append(qj)
+            new_qd.append(jnp.where((qj >= jl_hi[j]) & (qd[j] > 0), 0.0,
+                                    jnp.where((qj <= jl_lo[j]) & (qd[j] < 0),
+                                              0.0, qd[j])))
+        q = jnp.stack(new_q)
+        qd = jnp.stack(new_qd)
         new_bodies = []
         for b in range(B):
             bp, bq, _, _ = bodies[b]
@@ -819,8 +840,14 @@ def _build_kernel(spec: S.SceneSpec, solver_iters: int, erp: float,
                 bq = qnormalize(qmul(dq_rot, bq))
             new_bodies.append((bp, bq, bv_, bw_))
         fq = jnp.clip(fq + fqd_ * dt, fq_lo, fq_hi)
+        fqd_ = jnp.where((fq >= fq_hi) & (fqd_ > 0), 0.0,
+                         jnp.where((fq <= fq_lo) & (fqd_ < 0), 0.0, fqd_))
         if door is not None:
             door_q = jnp.clip(door_q + door_qd * dt, 0.0, float(door.limit))
+            door_qd = jnp.where((door_q >= float(door.limit))
+                                & (door_qd > 0), 0.0,
+                                jnp.where((door_q <= 0.0) & (door_qd < 0),
+                                          0.0, door_qd))
 
         return ((q, qd, fq, fqd_, new_bodies, door_q, door_qd), ee_force)
 

@@ -39,11 +39,30 @@ def push_step(grip, block, tgt, z_push=PUSH_Z, obstacles=None):
     to_goal = tgt[:2] - block[:2]
     dg = np.linalg.norm(to_goal)
     pd = to_goal / max(dg, 1e-6)
+    stage = block[:2] - pd * 0.05
+    # close-in reach boundary: with the flange-down EE at push height the
+    # tip only reaches x <= ~-0.41 (IK joint-4 limit saturates the close-in
+    # corner of the kuka.py:40-41 workspace box). An ideal stage point past
+    # the boundary deadlocks the expert against its own kinematics; clamp
+    # the stage onto the boundary and push along the feasible diagonal —
+    # the re-staging each pass walks the block toward the goal line.
+    REACH_X = -0.415
+    if stage[0] > REACH_X:
+        stage = np.array([REACH_X, stage[1]])
+        v = block[:2] - stage
+        n = float(np.linalg.norm(v))
+        if n > 1e-6 and float(v[0]) < -0.002:
+            pd = v / n
+        else:
+            # block at/over the boundary: only a y-side sweep can touch it
+            side = 1.0 if block[1] >= tgt[1] else -1.0
+            stage = np.array([min(float(block[0]), REACH_X),
+                              float(block[1]) + 0.05 * side])
+            pd = np.array([0.0, -side])
     rel = grip[:2] - block[:2]
     along = float(np.dot(rel, pd))
     lat = float(np.linalg.norm(rel - along * pd))
     low = grip[2] < z_push + 0.02
-    stage = block[:2] - pd * 0.05
     if low and along < -0.004 and lat < 0.03:
         # behind on the push line: drive through toward the target
         t = np.concatenate([block[:2] + pd * min(dg, 0.03), [z_push]])
@@ -58,11 +77,14 @@ def push_step(grip, block, tgt, z_push=PUSH_Z, obstacles=None):
         # low on the wrong side of the block (or the low path is blocked):
         # rise before traversing
         return np.array([0.0, 0.0, 1.0])
-    if np.linalg.norm(grip[:2] - stage) < 0.021:
+    d_stage = np.linalg.norm(grip[:2] - stage)
+    if d_stage < 0.021 or (d_stage < 0.045 and along < -0.028 and lat < 0.03):
         # above (or near-above) the staging point: descend onto it. The
-        # capture radius is 2.1 cm: near the close-in x bound the tip
-        # saturates ~1.3 cm short of the ideal stage (IK joint-4 limit) and
-        # a tighter radius flip-flops with the traverse branch forever.
+        # base capture radius is 2.1 cm; near the close-in x bound the tip
+        # saturates up to ~2.4 cm short of the ideal stage (IK joint-4
+        # limit) and a tight radius flip-flops with the traverse branch
+        # forever — so also descend whenever the tip is already behind the
+        # block on roughly the push line, where going low is always safe.
         t = np.concatenate([stage, [z_push]])
         return np.clip((t - grip) * 30, -1, 1)
     t = np.concatenate([stage, [TRAVERSE_Z]])
@@ -299,10 +321,19 @@ class ChestPushExpert(EEController):
             if grip[2] > 0.3:
                 self.phase = 5
         else:                                   # push blocks into the chest
+            # doorway (front_sliding, door slid +y): free gap y in
+            # [-0.07, 0.05] at the x=-0.597 wall plane — stage each block
+            # onto the gap centreline FIRST, then push straight -x through
+            # it (a diagonal push clips the open door's edge and jams)
             a = np.zeros(3)
             for i in range(nb):
                 if np.linalg.norm(ag[i][:2] - dg[i][:2]) > 0.025:
-                    a = push_step(grip, ag[i], dg[i])
+                    blk = ag[i]
+                    if blk[0] > -0.582 and abs(blk[1]) > 0.03:
+                        a = push_step(grip, blk,
+                                      np.array([-0.555, 0.0, 0.175]))
+                    else:
+                        a = push_step(grip, blk, dg[i])
                     break
         return a.astype(np.float32)
 
@@ -499,6 +530,148 @@ class SlideExpert:
         a = np.clip((des - self.jt) / 0.05, -1.0, 1.0)
         self.jt = self.jt + a * 0.05
         return a.astype(np.float32)
+
+
+class InsertionExpert:
+    """Scripted insertion-family expert: stage behind the rectangle on the
+    line to the slot pocket, squeeze the pads onto it, then SLIDE it toward
+    the pocket mouth, exercising the 6-DoF rotation channel on approach.
+
+    Physics bound (identical in the reference): the rectangle is mass 100
+    (insertion/rectangle.urdf:17) while the finger drive saturates at 50 N
+    (kuka.py:299), so a friction grasp can hold at most ~100 N — far short
+    of the 981 N needed to lift. The 'pick_up' subtask (object at z=0.15)
+    is therefore unachievable by construction; the achievable surface this
+    expert demonstrates: grasp closure onto the object, EE force-sensor
+    response, and pushing/dragging the rectangle to the slot."""
+
+    Z_PUSH = 0.075        # 1.5 cm above the upright rectangle's COM
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self.phase = 0
+        self.squeeze_t = 0
+
+    @staticmethod
+    def _yaw(euler):
+        # upright objects have ZYZ euler (yaw/2, ~0, yaw/2): alpha+gamma=yaw
+        return float(euler[0] + euler[2])
+
+    def pocket_xy(self, obs):
+        aux = obs['auxiliary_task_state']
+        syaw = self._yaw(aux[3:6])
+        return np.asarray(aux[0:2]) + 0.03 * np.array(
+            [-np.cos(syaw), -np.sin(syaw)])   # slot_target frame (link 3)
+
+    def __call__(self, obs):
+        grip = obs['policy_state'][:3]
+        aux = obs['auxiliary_task_state']
+        rect = np.asarray(aux[6:9])
+        pocket = self.pocket_xy(obs)
+        to_goal = pocket - rect[:2]
+        d = float(np.linalg.norm(to_goal))
+        u = to_goal / max(d, 1e-6)
+        a, rot, g = np.zeros(3), np.zeros(3), -1.0
+        stage = rect[:2] - u * 0.055
+        if self.phase == 0:                    # high traverse to the stage
+            tgt = np.array([stage[0], stage[1], 0.20])
+            a = _goto(tgt, grip)
+            rot[0] = 0.5                       # exercise the rotation channel
+            if np.linalg.norm(grip[:2] - stage) < 0.012:
+                self.phase = 1
+        elif self.phase == 1:                  # descend behind the rectangle
+            tgt = np.array([stage[0], stage[1], self.Z_PUSH])
+            a = _goto(tgt, grip)
+            rot[0] = -0.5                      # and rotate back
+            if abs(grip[2] - self.Z_PUSH) < 0.006:
+                self.phase = 2
+        elif self.phase == 2:                  # slide to straddle it
+            tgt = np.array([rect[0], rect[1], self.Z_PUSH])
+            a = _goto(tgt, grip, 20)
+            if np.linalg.norm(grip[:2] - rect[:2]) < 0.012:
+                self.phase = 3
+        elif self.phase == 3:                  # squeeze the grasp closed
+            g = 1.0
+            self.squeeze_t += 1
+            if self.squeeze_t > 12:
+                self.phase = 4
+        else:                                  # drag/push toward the pocket
+            g = 1.0
+            tgt = np.array([rect[0] + u[0] * min(d, 0.02),
+                            rect[1] + u[1] * min(d, 0.02), self.Z_PUSH])
+            a = _goto(tgt, grip, 20)
+        return np.concatenate([a, rot, [g]]).astype(np.float32)
+
+
+class PrimitivePushExpert:
+    """Scripted discrete_push expert: each action places a 0.1 m push stroke
+    behind the goal object aimed along the goal line.
+
+    Uses the discrete decode (kuka.py:174-177: start = pixel * resolution +
+    workspace lower, angle = 2pi/20 * idx) because the continuous decode's
+    angle span is only +-pi/2 — the discrete primitive covers the full
+    circle at 18-degree resolution."""
+
+    LOWER = np.array([-0.755, -0.175])
+    RESOLUTION = 0.0015625
+
+    def reset(self):
+        pass
+
+    def __call__(self, obs):
+        obj = obs['achieved_goal'][:3]
+        goal = obs['desired_goal'][:3]
+        to_goal = goal[:2] - obj[:2]
+        d = float(np.linalg.norm(to_goal))
+        # a pushed box slides along ITS OWN face normal (the objects spawn
+        # yaw-randomised, kuka_shape_assemble_base_env.py:106-129): pushing
+        # along an arbitrary goal heading shoves a tilted face and the
+        # wedge action squirts the box SIDEWAYS. So walk the box Manhattan
+        # in its own frame: push the face whose outward normal best aligns
+        # with the goal line, and size the engagement to the goal-line
+        # projection of that normal.
+        yaw = float(obs['achieved_goal'][3] + obs['achieved_goal'][5]) \
+            if obs['achieved_goal'].shape[0] >= 6 else 0.0
+        # stroke placement: the interpolated executor sweeps at ~0.125 m/s,
+        # so the push is quasi-static — object movement ~ pad engagement
+        # = 0.1 - (back - 0.0275). Start the fixed 0.1 m stroke far enough
+        # behind that the engagement equals the remaining distance (the
+        # object lands ON the goal); never closer than 5.5 cm (the
+        # descending pads must clear the object). Candidate strokes whose
+        # start lies in the IK-saturated close-in corner (x > ~-0.425, see
+        # push_step REACH_X) are rejected — a saturated descent flails the
+        # wrist through the object; the best REACHABLE face normal wins,
+        # even with a small negative goal-line dot (repositioning stroke:
+        # the off-centre contact also yaws the box, opening better faces).
+        best = None
+        near_edge = obj[0] > -0.48
+        for k in range(4):
+            c = yaw + k * np.pi / 2
+            u_f = np.array([np.cos(c), np.sin(c)])   # exact face normal
+            dot = float(np.dot(to_goal, u_f))
+            idx = int(round(c / (2 * np.pi / 20))) % 20
+            ang_q = 2 * np.pi / 20 * idx
+            u = np.array([np.cos(ang_q), np.sin(ang_q)])
+            back = max(0.1275 - max(dot, 0.02), 0.055)
+            start = obj[:2] - u * back
+            if start[0] > -0.425:
+                continue
+            if near_edge and u_f[0] > 0.2 and dot < 0.03:
+                # never nudge a near-edge object further toward the
+                # unreachable +x corner unless it is real goal progress
+                continue
+            if best is None or dot > best[0]:
+                best = (dot, idx, start)
+        if best is None:                        # fully cornered: sweep -x
+            idx, start = 10, obj[:2] - np.array([-1.0, 0.0]) * 0.055
+        else:
+            _, idx, start = best
+        px = int(round((start[0] - self.LOWER[0]) / self.RESOLUTION))
+        py = int(round((start[1] - self.LOWER[1]) / self.RESOLUTION))
+        return np.array([idx, np.clip(px, 0, 223), np.clip(py, 0, 223)],
+                        np.float32)
 
 
 def run_episodes(env, policy, n_episodes=3, max_steps=100):

@@ -73,6 +73,263 @@ def test_pick_and_place_scripted():
     assert wins >= 2, wins
 
 
+def test_block_rearrange_scripted():
+    """All blocks pushed to their flat targets by the RearrangeExpert."""
+    env = pmg.make_env(task='block_rearrange', num_block=2,
+                       max_episode_steps=200, seed=0)
+    wins = policies.run_episodes(env, policies.RearrangeExpert(2),
+                                 n_episodes=3, max_steps=200)
+    assert wins >= 2, wins
+
+
+def test_block_stack_scripted():
+    """Tower built bottom-up with grasped pick-and-place by the StackExpert."""
+    env = pmg.make_env(task='block_stack', num_block=2,
+                       max_episode_steps=200, seed=0)
+    wins = policies.run_episodes(env, policies.StackExpert(2),
+                                 n_episodes=3, max_steps=200)
+    assert wins >= 2, wins
+
+
+def test_chest_push_scripted():
+    """Door slid open via the handle, then the block pushed into the chest
+    (front_sliding door, kuka_multi_step_envs.py:379-517).
+
+    3 of these 4 seeded episodes are winnable; in the other the block spawns
+    at x=-0.41, past the close-in reach boundary where the flange-down EE
+    cannot touch table-level objects at all (IK joint-4 limit — the same
+    saturation Bullet's IK hits in the reference's kuka.py:40-41 workspace
+    corner), so no pushing policy can move it."""
+    env = pmg.make_env(task='chest_push', num_block=1,
+                       max_episode_steps=300, seed=0)
+    wins = policies.run_episodes(env, policies.ChestPushExpert(1),
+                                 n_episodes=4, max_steps=300)
+    assert wins >= 3, wins
+
+
+def test_chest_pick_and_place_scripted():
+    """Lid slid open, block grasped and dropped into the chest
+    (up_sliding door, kuka_multi_step_envs.py:229-377)."""
+    env = pmg.make_env(task='chest_pick_and_place', num_block=1,
+                       max_episode_steps=250, seed=0)
+    wins = policies.run_episodes(env, policies.ChestPickExpert(1),
+                                 n_episodes=3, max_steps=250)
+    assert wins >= 2, wins
+
+
+def test_insertion_scripted():
+    """Insertion expert: grasp contact + 6-DoF rotation control + driving
+    the rectangle against the slot, verified through subtask_rewards
+    (kuka_insertion_base_env.py:210-254).
+
+    The full insert is unreachable by BOTH physics stacks: the rectangle is
+    mass 100 (insertion/rectangle.urdf:17) against 50 N finger motors
+    (kuka.py:299), so no friction grasp can lift it; what is checkable is
+    grasp closure onto the object, EE force-sensor response, and reach/insert
+    progress while sliding it toward the slot."""
+    env = pmg.make_env(task='insertion', max_episode_steps=150, seed=0)
+    expert = policies.InsertionExpert()
+    obs = env.reset()
+    expert.reset()
+    rect0 = np.asarray(obs['auxiliary_task_state'][6:8])
+    d0 = float(np.linalg.norm(expert.pocket_xy(obs) - rect0))
+    grasped = False
+    max_force = 0.0
+    best_d = d0
+    for t in range(150):
+        obs, reward, done, info = env.step(expert(obs))
+        closeness = float(obs['policy_state'][-1])
+        # grasp closure: fingers settled on the 0.03 m wide rectangle
+        # (parallel-jaw closeness 0.03 = pad gap equals the object width)
+        if expert.phase >= 3 and 0.02 < closeness < 0.036:
+            grasped = True
+        max_force = max(max_force,
+                        float(np.abs(obs['observation'][-4:-1]).max()))
+        rect = np.asarray(obs['auxiliary_task_state'][6:8])
+        best_d = min(best_d,
+                     float(np.linalg.norm(expert.pocket_xy(obs) - rect)))
+    assert grasped, 'fingers never closed onto the rectangle'
+    assert max_force > 1.0, 'EE force sensor never responded'
+    # the rectangle was slid most of the way to the slot pocket (the
+    # subtask 'reach'/'insert' scalars mix in a ZYZ-euler term whose branch
+    # jumps dwarf positional progress — assert the position directly)
+    assert best_d < max(0.5 * d0, 0.05), (d0, best_d)
+
+
+def test_primitive_push_reach_scripted():
+    """Discrete push primitives drive the rectangle toward the goal pose's
+    position (kuka_shape_assemble_envs.py:76-96).
+
+    Calibration note: each primitive is a fixed 0.1 m stroke at 18-degree
+    quantisation against a yaw-randomised 100 kg box that slides along ITS
+    OWN face normals — fine positioning below ~5 cm is at the mechanism's
+    resolution limit (the reference itself ships only eyeball demos for
+    this family, test/README). The machine-checked bar: at least one
+    episode reaches the env's own 0.05 success radius, and 3 of 4 episodes
+    make decisive progress."""
+    env = pmg.make_env(task='primitive_push_reach', primitive='discrete_push',
+                       max_episode_steps=25, seed=0)
+    expert = policies.PrimitivePushExpert()
+    final_err, init_err = [], []
+    for ep in range(4):
+        obs = env.reset()
+        err = np.linalg.norm(obs['achieved_goal'][:2]
+                             - obs['desired_goal'][:2])
+        init_err.append(float(err))
+        best = err
+        for t in range(25):
+            obs, reward, done, info = env.step(expert(obs))
+            err = np.linalg.norm(obs['achieved_goal'][:2]
+                                 - obs['desired_goal'][:2])
+            best = min(best, err)
+            if err < 0.03:
+                break
+        final_err.append(float(best))
+    assert min(final_err) < 0.05, final_err
+    good = sum(f < max(0.6 * i, 0.07) for f, i in zip(final_err, init_err))
+    assert good >= 3, (init_err, final_err)
+
+
+def test_primitive_push_assemble_scripted():
+    """Push primitives drive the cube toward the slot pocket; the goal is
+    regenerated from the (also movable) slot each step
+    (kuka_shape_assemble_envs.py:25-35)."""
+    env = pmg.make_env(task='primitive_push_assemble',
+                       primitive='discrete_push',
+                       max_episode_steps=25, seed=1)
+    expert = policies.PrimitivePushExpert()
+    bests, inits = [], []
+    for ep in range(3):
+        obs = env.reset()
+        init = np.linalg.norm(obs['achieved_goal'][:2]
+                              - obs['desired_goal'][:2])
+        best = init
+        for t in range(25):
+            obs, reward, done, info = env.step(expert(obs))
+            err = np.linalg.norm(obs['achieved_goal'][:2]
+                                 - obs['desired_goal'][:2])
+            best = min(best, err)
+        inits.append(float(init))
+        bests.append(float(best))
+    # the cube reaches the slot mouth in at least one episode (pocket
+    # centre to cube centre when touching the outer wall = 0.06) and the
+    # expert makes decisive progress in 2 of 3 (the slot itself is movable
+    # and the goal regenerates from it each step)
+    assert min(bests) < 0.05, (inits, bests)
+    good = sum(b < max(0.6 * i, 0.07) for b, i in zip(bests, inits))
+    assert good >= 2, (inits, bests)
+
+
+@pytest.mark.parametrize('task,adim', [('chest_push', 3),
+                                       ('chest_pick_and_place', 4)])
+def test_chest_quiescence(task, adim):
+    """Regression for the round-2 chest blow-up (commit 2c0286c): at the
+    on-table spawn pose the palm guard sphere grazes the chest; zero actions
+    must leave the scene quiescent — no energy pumping through the
+    penetration, door stays shut, nothing accelerates."""
+    env = pmg.make_env(task=task, num_block=1, max_episode_steps=12, seed=0)
+    obs = env.reset()
+    assert abs(float(obs['achieved_goal'][0])) < 1e-3   # door starts closed
+    for _ in range(12):
+        obs, reward, done, info = env.step(np.zeros(adim, np.float32))
+    ph = env._state.phys
+    # blow-ups are rad/s-scale; ~0.05 rad/s of servo settling transient
+    # remains at step 12 (the IK pose keeps converging after spawn)
+    assert float(np.abs(np.asarray(ph.qd)).max()) < 0.1, np.asarray(ph.qd)
+    assert float(np.abs(np.asarray(ph.body_linvel)).max()) < 0.05
+    assert abs(float(np.asarray(ph.door_q)[0])) < 0.01
+    # blocks still on the table inside the spawn region
+    bp = np.asarray(ph.body_pos)[0]
+    assert np.all(np.abs(bp[:, 2] - 0.175) < 0.02), bp
+
+
+def test_block_trapped_against_door_stalls():
+    """Regression for the chest_push blow-up found in round 4: pushing a
+    block against the CLOSED chest door must stall the arm at force balance
+    (qd-couple back-reaction) — before the fix the kinematic finger ground
+    the block through the door volume and the door servo launched it to
+    10 m/s."""
+    env = pmg.make_env(task='chest_push', num_block=1,
+                       max_episode_steps=120, seed=0)
+    # pick a seeded spawn already in a clean lane: ON the door panel's span
+    # (|y| < 0.07) but clear of the handle at y~0 that the passing palm
+    # guard would sweep open — then the drive is a pure straight -x push
+    for ep in range(20):
+        obs = env.reset()
+        blk = obs['achieved_goal'][1:4]
+        if 0.035 <= abs(blk[1]) <= 0.055 and blk[0] > -0.56:
+            break
+    else:
+        pytest.skip('no suitable spawn lane in 20 seeded episodes')
+    y_lane = float(blk[1])
+    for t in range(70):
+        grip = obs['policy_state'][:3]
+        blk = obs['achieved_goal'][1:4]
+        tgt = np.array([-0.66, y_lane, 0.175])
+        a = policies.push_step(grip, blk, tgt).astype(np.float32)
+        obs, reward, done, info = env.step(a)
+        bv = np.asarray(env._state.phys.body_linvel)[0, 0]
+        blk = obs['achieved_goal'][1:4]
+        assert np.linalg.norm(bv) < 1.0, (t, bv)
+        # the block presses against the door face (x ~ -0.577), never
+        # penetrates through the door plane
+        assert blk[0] > -0.62, (t, blk)
+        assert abs(blk[1]) < 0.4 and 0.15 < blk[2] < 0.30, (t, blk)
+        # the door stays essentially shut (light friction rattle tolerated)
+        assert float(obs['achieved_goal'][0]) < 0.06, (t, obs['achieved_goal'][0])
+
+
+def test_arm_sweep_stopped_by_table():
+    """Drive the arm INTO the tabletop (joint control bypasses the EE
+    workspace clamp): the finger/palm contacts must stop the chain at the
+    surface instead of letting it pass through (VERDICT r2/r3: a broken
+    lane_couple mask would sail through and today's suite wouldn't notice)."""
+    import jax.numpy as jnp
+    from pybullet_multigoal_gym_tpu.ops import fk
+
+    env = pmg.make_env(task='push', joint_control=True,
+                       max_episode_steps=60, seed=0)
+    obs = env.reset()
+    core = env.venv.core
+    q0 = np.asarray(obs['observation'][:7])
+    # pick the joint-1 drive sign that lowers the tip
+    def tip_z(q):
+        return float(fk.tip_pose(jnp.asarray(q, jnp.float32))[0][2])
+    dq = np.zeros(7); dq[1] = 0.05
+    sign = -1.0 if tip_z(q0 + dq) < tip_z(q0) else 1.0
+    a = np.zeros(7, np.float32)
+    a[1] = sign
+    min_tip = np.inf
+    for t in range(45):
+        obs, reward, done, info = env.step(a)
+        min_tip = min(min_tip, tip_z(obs['observation'][:7]))
+    ph = env._state.phys
+    # commanded target is far below the table, the arm is not
+    assert min_tip > 0.16 - 0.03, min_tip
+    assert float(np.abs(np.asarray(ph.qd)).max()) < 2.0
+
+
+def test_arm_sweep_block_not_launched():
+    """EE-mode descent directly onto the block: the fingers plough into it;
+    the block must yield without being launched (solver blow-up guard)."""
+    env = pmg.make_env(task='push', max_episode_steps=80, seed=2)
+    obs = env.reset()
+    max_v = 0.0
+    for t in range(60):
+        grip = obs['observation'][:3]
+        block = obs['achieved_goal']
+        tgt = np.array([block[0], block[1], 0.175])
+        a = np.clip((tgt - grip) * 25, -1, 1).astype(np.float32)
+        obs, reward, done, info = env.step(a)
+        v = float(np.linalg.norm(
+            np.asarray(env._state.phys.body_linvel)[0, 0]))
+        max_v = max(max_v, v)
+        block = obs['achieved_goal']
+        assert 0.14 < block[2] < 0.35, block        # on the table, not flying
+        assert np.linalg.norm(block[:2]) < 1.5, block
+    assert max_v < 1.5, max_v
+
+
 def test_slide_scripted():
     """Slide: strike the puck so it coasts over the mu=0.05 long table
     toward a goal beyond the EE workspace (kuka_single_step_base_env.py:66).

@@ -103,6 +103,7 @@ def test_cull_physically_invisible():
     step_c = jax.jit(env.engine.control_step)
     step_f = jax.jit(eng_full.control_step)
     tgt = jnp.asarray([*block_xy, 0.19], jnp.float32)
+    max_force = 0.0
     for t in range(12):
         # sweep the EE onto the block, fingers squeezing it (0.03 target
         # closes the pads onto the 0.03 m block)
@@ -113,9 +114,14 @@ def test_cull_physically_invisible():
                           door_target=jnp.zeros((), jnp.float32))
         ph_c = step_c(ph_c, ctrl)
         ph_f = step_f(ph_f, ctrl)
+        max_force = max(max_force,
+                        float(jnp.abs(ph_c.ee_contact_force).max()))
     np.testing.assert_allclose(np.asarray(ph_c.q), np.asarray(ph_f.q),
                                atol=2e-3)
     np.testing.assert_allclose(np.asarray(ph_c.body_pos),
                                np.asarray(ph_f.body_pos), atol=2e-3)
-    # the sweep actually made contact (the comparison is not vacuous)
-    assert float(jnp.abs(ph_c.ee_contact_force).max()) > 0.5
+    # the sweep actually made contact (the comparison is not vacuous):
+    # force peak during the sweep + the block was displaced. (The FINAL
+    # step's force can read zero — the pushed block escapes the pads.)
+    moved = np.linalg.norm(np.asarray(ph_c.body_pos)[0, :2] - block_xy)
+    assert max_force > 0.5 or moved > 0.02, (max_force, moved)
