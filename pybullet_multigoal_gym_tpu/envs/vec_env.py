@@ -57,13 +57,32 @@ class VecMGEnv:
         self.core = _make_core(cfg)
         self.env_id = env_id(cfg)
         self.max_episode_steps = cfg.max_episode_steps
-        # batched Pallas physics: auto-on for supported families on TPU when
-        # the batch tiles evenly into (8,128) VPU blocks
+        # batched Pallas physics: auto-on for supported families on TPU. The
+        # kernel processes whole (8,128) VPU tiles (1024 envs per grid
+        # program); batches >=512 that don't tile evenly are padded up to the
+        # next tile internally (padding envs run normally and are sliced off
+        # every output), so e.g. 512 envs/chip after mesh sharding still run
+        # the kernel instead of silently dropping to the ~24x slower XLA
+        # engine. Smaller batches fall back with an explicit warning.
+        explicit = use_pallas is True
         if use_pallas is None:
             use_pallas = jax.default_backend() == 'tpu'
-        self.use_pallas = bool(use_pallas
-                               and getattr(self.core, 'supports_pallas', False)
-                               and num_envs % 1024 == 0)
+        pallas_ok = bool(use_pallas
+                         and getattr(self.core, 'supports_pallas', False))
+        self._n = num_envs                # internal (possibly padded) batch
+        if pallas_ok and num_envs % 1024 != 0:
+            if num_envs >= 512:
+                self._n = -(-num_envs // 1024) * 1024
+            else:
+                pallas_ok = False
+                if explicit:              # explicitly requested, not auto
+                    import warnings
+                    warnings.warn(
+                        'VecMGEnv: num_envs=%d < 512 cannot use the fused '
+                        'Pallas engine (1024-env VPU tiles); falling back to '
+                        'the XLA engine' % num_envs)
+        self.use_pallas = pallas_ok
+        n = self._n
 
         self.pipeline = None
         if cfg.image_observation or cfg.point_cloud:
@@ -81,19 +100,29 @@ class VecMGEnv:
 
         is_multi_step = cfg.family == 'multi_step'
 
+        def unpad(tree):
+            # slice padding envs off user-visible outputs (static slice)
+            if n == num_envs:
+                return tree
+            return jax.tree_util.tree_map(lambda x: x[:num_envs], tree)
+
         def reset_fn(key, curr=None):
-            keys = jax.random.split(key, num_envs)
+            keys = jax.random.split(key, n)
             if curr is not None:
                 state, obs = jax.vmap(self.core.reset)(keys, curr)
             else:
                 state, obs = jax.vmap(self.core.reset)(keys)
-            return state, add_images(state, obs)
+            return state, unpad(add_images(state, obs))
 
         def step_fn(state, action):
+            if action.shape[0] != n:     # caller passed the visible batch
+                pad = jnp.zeros((n - action.shape[0],) + action.shape[1:],
+                                action.dtype)
+                action = jnp.concatenate([action, pad], axis=0)
             if self.use_pallas and cfg.primitive is not None:
                 wps = jax.vmap(self.core.step_decode_waypoints)(state, action)
                 phys = self.core.execute_primitive_batched(
-                    state.phys, wps, num_envs)
+                    state.phys, wps, n)
                 state = state._replace(phys=phys, steps=state.steps + 1)
                 state, obs, reward, achieved = jax.vmap(
                     self.core.step_finish)(state)
@@ -112,14 +141,14 @@ class VecMGEnv:
                         state.ee_target, target_quat=tq,
                         q_init=state.phys.q,
                         rest_pose=jnp.broadcast_to(
-                            jnp.asarray(self.core.rest_pose), (num_envs, 7)))
+                            jnp.asarray(self.core.rest_pose), (n, 7)))
                 if cfg.has_chest:
                     door_on = state.door_hold_open
-                    door_t = jnp.full((num_envs,),
+                    door_t = jnp.full((n,),
                                       cfg.chest_door_opened_state, jnp.float32)
                 else:
-                    door_on = jnp.zeros((num_envs,), bool)
-                    door_t = jnp.zeros((num_envs,), jnp.float32)
+                    door_on = jnp.zeros((n,), bool)
+                    door_t = jnp.zeros((n,), jnp.float32)
                 phys = self.core.get_pallas_engine().control_step(
                     state.phys, _D.Controls(
                         q_target=q_t, f_target=f_t,
@@ -150,6 +179,7 @@ class VecMGEnv:
                     lambda r, s: jnp.where(
                         done.reshape(done.shape + (1,) * (s.ndim - 1)), r, s),
                     reset_states, state)
+            obs, reward, done, info = unpad((obs, reward, done, info))
             return state, obs, reward, done, info
 
         self._reset = jax.jit(reset_fn) if jit else reset_fn

@@ -16,7 +16,12 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 try:
-    from jax.shard_map import shard_map
+    # jax >= 0.8: public API; the replication check kwarg is `check_vma`
+    from jax import shard_map as _shard_map
+
+    def shard_map(f, mesh, in_specs, out_specs, check_rep=True):
+        return _shard_map(f, mesh=mesh, in_specs=in_specs,
+                          out_specs=out_specs, check_vma=check_rep)
 except ImportError:                      # pragma: no cover
     from jax.experimental.shard_map import shard_map
 

@@ -103,3 +103,37 @@ def test_vec_env_pallas_matches_xla_path():
     np.testing.assert_allclose(np.asarray(op['observation']),
                                np.asarray(ox['observation']), atol=5e-3)
     np.testing.assert_allclose(np.asarray(rp), np.asarray(rx), atol=1e-6)
+
+
+@pytest.mark.skipif(not ON_TPU, reason='full vec-env pallas path needs TPU')
+def test_vec_env_pallas_tile_padding():
+    """Batches that don't tile into 1024-env VPU blocks keep the Pallas
+    engine by padding up to whole tiles internally (vec_env.py). A padded
+    1536-env env must behave exactly like the first 1536 envs of a 2048-env
+    env (reset splits the same internal key count), with every user-visible
+    output sliced to the requested batch."""
+    from pybullet_multigoal_gym_tpu.config import EnvConfig
+    from pybullet_multigoal_gym_tpu.envs.vec_env import VecMGEnv
+    cfg = EnvConfig(task='push', max_episode_steps=10)
+    env_a = VecMGEnv(cfg, num_envs=1536, use_pallas=True)
+    env_b = VecMGEnv(cfg, num_envs=2048, use_pallas=True)
+    assert env_a.use_pallas and env_a._n == 2048
+    key = jax.random.PRNGKey(7)
+    sa, oa = env_a.reset(key)
+    sb, ob = env_b.reset(key)
+    assert oa['observation'].shape[0] == 1536
+    assert ob['observation'].shape[0] == 2048
+    a = jax.random.uniform(jax.random.PRNGKey(8), (2048, 4), jnp.float32,
+                           -1, 1)
+    for _ in range(2):
+        sa, oa, ra, da, ia = env_a.step(sa, a[:1536])
+        sb, ob, rb, db, ib = env_b.step(sb, a)
+    assert ra.shape == (1536,) and da.shape == (1536,)
+    np.testing.assert_allclose(np.asarray(oa['observation']),
+                               np.asarray(ob['observation'][:1536]))
+    np.testing.assert_allclose(np.asarray(ra), np.asarray(rb[:1536]))
+
+    # small batches fall back to the XLA engine with an explicit warning
+    with pytest.warns(UserWarning, match='falling back'):
+        env_s = VecMGEnv(cfg, num_envs=64, use_pallas=True)
+    assert not env_s.use_pallas

@@ -95,7 +95,7 @@ def test_multibody_matches_xla_other_scenes(scene):
     peng = PallasMultiBodyEngine(spec)
     st = _mk_state(spec, TILE, jax.random.PRNGKey(1))
     # drop the bodies near the workspace plane (z=0.02 scenes)
-    bp = np.asarray(st.body_pos)
+    bp = np.array(st.body_pos)          # copy: device arrays are read-only
     bp[:, :, 2] = np.abs(bp[:, :, 2] - 0.21) + spec.plane_z + 0.04
     st = st._replace(body_pos=jnp.asarray(bp))
     q0 = jnp.tile(jnp.asarray(KM.KUKA_REST_POSE, jnp.float32), (TILE, 1))
