@@ -45,6 +45,11 @@ class EnvState(NamedTuple):
     door_hold_open: jnp.ndarray      # () bool
     # per-reset spawn poses (for goal images / subgoal generation)
     spawn_body_pos: jnp.ndarray      # (NB, 3)
+    # goal image rendered once per episode (families whose desired_goal is
+    # episode-constant: single_step, insertion); None = render per step.
+    # The reference also renders goal images only at reset
+    # (kuka_single_step_base_env.py:150-188).
+    desired_goal_img: jnp.ndarray = None
 
 
 def binary_or_dense_reward(achieved, desired, threshold, binary):

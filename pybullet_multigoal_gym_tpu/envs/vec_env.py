@@ -99,6 +99,20 @@ class VecMGEnv:
             return obs
 
         is_multi_step = cfg.family == 'multi_step'
+        # goal images are rendered once per episode and carried in state for
+        # families whose desired_goal is fixed within an episode (the
+        # reference renders goal images at reset only,
+        # kuka_single_step_base_env.py:150-188); multi_step/shape_assemble
+        # mutate desired_goal mid-episode (set_sub_goal, per-step regen) and
+        # render fresh every step instead
+        cache_goal_img = (self.pipeline is not None and cfg.goal_image
+                          and cfg.family in ('single_step', 'insertion'))
+
+        def attach_goal_img(state):       # one env, under vmap
+            if not cache_goal_img:
+                return state
+            return state._replace(
+                desired_goal_img=self.pipeline.goal_image(state))
 
         def unpad(tree):
             # slice padding envs off user-visible outputs (static slice)
@@ -112,6 +126,7 @@ class VecMGEnv:
                 state, obs = jax.vmap(self.core.reset)(keys, curr)
             else:
                 state, obs = jax.vmap(self.core.reset)(keys)
+            state = jax.vmap(attach_goal_img)(state)
             return state, unpad(add_images(state, obs))
 
         def step_fn(state, action):
@@ -173,12 +188,23 @@ class VecMGEnv:
                                   s.curriculum_update))
                     else:
                         ns, _ = self.core.reset(sub)
-                    return ns._replace(key=new_key)
-                reset_states = jax.vmap(do_reset)(state)
-                state = jax.tree_util.tree_map(
-                    lambda r, s: jnp.where(
-                        done.reshape(done.shape + (1,) * (s.ndim - 1)), r, s),
-                    reset_states, state)
+                    return attach_goal_img(ns._replace(key=new_key))
+
+                def apply_resets(state):
+                    reset_states = jax.vmap(do_reset)(state)
+                    return jax.tree_util.tree_map(
+                        lambda r, s: jnp.where(
+                            done.reshape(done.shape + (1,) * (s.ndim - 1)),
+                            r, s),
+                        reset_states, state)
+
+                # `done` comes only from the TimeLimit, so episodes step in
+                # lockstep and reset-work is needed on ~1/max_episode_steps
+                # of the calls — a real branch (lax.cond), not a select,
+                # skips the whole resample/goal-render computation on every
+                # other step
+                state = jax.lax.cond(jnp.any(done), apply_resets,
+                                     lambda s: s, state)
             obs, reward, done, info = unpad((obs, reward, done, info))
             return state, obs, reward, done, info
 

@@ -112,6 +112,11 @@ class RenderPipeline:
                 'body_pos': ph.body_pos.at[b].set(goal[:3]),
                 'body_quat': ph.body_quat.at[b].set(tq)}
 
+    def goal_image(self, state):
+        """Render the desired-goal image for one env state (uncached)."""
+        return self.render(state, self.cfg.render_mode, self.cfg.goal_cam_id,
+                           goal_config=self._goal_config(state))
+
     # ------------------------------------------------------------ obs fields
     def image_obs(self, state):
         """The image-related obs-dict fields for one env state."""
@@ -127,9 +132,12 @@ class RenderPipeline:
         if cfg.goal_image:
             out['achieved_goal_img'] = self.render(state, mode, cfg.goal_cam_id,
                                                    goal_config=away)
-            gc = self._goal_config(state)
-            out['desired_goal_img'] = self.render(state, mode, cfg.goal_cam_id,
-                                                  goal_config=gc)
+            # episode-constant goals carry their image in state (rendered
+            # once per reset, like the reference's teleport-render-at-reset);
+            # families that mutate desired_goal mid-episode render fresh
+            out['desired_goal_img'] = (
+                state.desired_goal_img if state.desired_goal_img is not None
+                else self.goal_image(state))
         if cfg.point_cloud:
             out['pcd'] = self.render(state, 'pcd', 0, goal_config=away)
         return out

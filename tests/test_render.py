@@ -72,3 +72,47 @@ def test_image_observation_contract_small():
     assert img[..., :3].std() > 1.0          # not a constant image
     obs, r, d, i = env.step(np.zeros(4, np.float32))
     assert obs['observation'].shape == (32, 32, 4)
+
+
+def test_goal_image_cached_per_episode():
+    """Single-step goals are episode-constant, so the desired-goal image is
+    rendered once per reset and carried in state (vec_env.attach_goal_img),
+    matching the reference's render-at-reset (`kuka_single_step_base_env.py:
+    150-188`) instead of paying a render + IK solve every step."""
+    env = pmg.make_vec_env(num_envs=2, task='push', max_episode_steps=2,
+                           image_observation=True, goal_image=True,
+                           render_width=16, render_height=16)
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    assert state.desired_goal_img is not None
+    fresh = jax.vmap(env.pipeline.goal_image)(state)
+    np.testing.assert_array_equal(np.asarray(obs['desired_goal_img']),
+                                  np.asarray(fresh))
+    a = np.zeros((2, env.cfg.action_dim), np.float32)
+    s1, o1, *_ = env.step(state, a)
+    # unchanged mid-episode
+    np.testing.assert_array_equal(np.asarray(o1['desired_goal_img']),
+                                  np.asarray(obs['desired_goal_img']))
+    s2, o2, r2, d2, _ = env.step(s1, a)
+    assert bool(np.asarray(d2).all())       # TimeLimit -> auto-reset
+    # the re-rendered cache belongs to the NEW episode's goal
+    fresh2 = jax.vmap(env.pipeline.goal_image)(s2)
+    np.testing.assert_array_equal(np.asarray(s2.desired_goal_img),
+                                  np.asarray(fresh2))
+
+
+def test_auto_reset_cond_skips_and_fires():
+    """TimeLimit `done` is batch-uniform, so auto-reset runs under a real
+    lax.cond branch: no-reset steps keep state, the boundary step resets
+    every env (steps counter back to 0, fresh episode thereafter)."""
+    env = pmg.make_vec_env(num_envs=3, task='reach', max_episode_steps=2)
+    st, _ = env.reset(jax.random.PRNGKey(1))
+    a = np.zeros((3, env.cfg.action_dim), np.float32)
+    st, *_ = env.step(st, a)
+    goals_ep1 = np.asarray(st.desired_goal)
+    st, _, _, d, _ = env.step(st, a)
+    assert bool(np.asarray(d).all())
+    assert int(np.asarray(st.steps).max()) == 0      # reset applied
+    assert (np.asarray(st.desired_goal) != goals_ep1).any()  # resampled
+    st, _, _, d, _ = env.step(st, a)
+    assert not bool(np.asarray(d).any())
+    assert int(np.asarray(st.steps).min()) == 1
