@@ -130,8 +130,15 @@ class RenderPipeline:
                   for cid in cfg.observation_cam_id]
         out = {'images': images, 'observation': images[0]}
         if cfg.goal_image:
-            out['achieved_goal_img'] = self.render(state, mode, cfg.goal_cam_id,
-                                                   goal_config=away)
+            # achieved_goal_img is the same render as an observation camera
+            # whenever goal_cam_id is among observation_cam_id (the default:
+            # both 0) — reuse it instead of tracing a second full trace
+            cids = list(cfg.observation_cam_id)
+            out['achieved_goal_img'] = (
+                images[cids.index(cfg.goal_cam_id)]
+                if cfg.goal_cam_id in cids
+                else self.render(state, mode, cfg.goal_cam_id,
+                                 goal_config=away))
             # episode-constant goals carry their image in state (rendered
             # once per reset, like the reference's teleport-render-at-reset);
             # families that mutate desired_goal mid-episode render fresh
