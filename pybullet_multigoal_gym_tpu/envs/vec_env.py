@@ -94,7 +94,9 @@ class VecMGEnv:
                 return obs
             obs = dict(obs)
             obs['state'] = obs['observation']
-            img = jax.vmap(self.pipeline.image_obs)(state)
+            # images never feed back into the (possibly padded) state —
+            # render only the user-visible rows
+            img = jax.vmap(self.pipeline.image_obs)(unpad(state))
             obs.update(img)
             return obs
 
@@ -114,19 +116,36 @@ class VecMGEnv:
             return state._replace(
                 desired_goal_img=self.pipeline.goal_image(state))
 
+        def attach_goal_imgs(state):      # whole batch, at reset
+            if not cache_goal_img:
+                return state
+            # render only the visible rows; padding rows carry a repeat of
+            # row 0 (their images are never observed)
+            imgs = jax.vmap(self.pipeline.goal_image)(unpad(state))
+            return state._replace(desired_goal_img=pad_rows(imgs))
+
         def unpad(tree):
             # slice padding envs off user-visible outputs (static slice)
             if n == num_envs:
                 return tree
             return jax.tree_util.tree_map(lambda x: x[:num_envs], tree)
 
+        def pad_rows(x):
+            # grow a (num_envs, ...) array to the internal batch by
+            # repeating row 0 (used for curriculum state of padding envs)
+            if x.shape[0] == n:
+                return x
+            reps = jnp.broadcast_to(x[:1], (n - x.shape[0],) + x.shape[1:])
+            return jnp.concatenate([x, reps], axis=0)
+
         def reset_fn(key, curr=None):
             keys = jax.random.split(key, n)
             if curr is not None:
+                curr = jax.tree_util.tree_map(pad_rows, curr)
                 state, obs = jax.vmap(self.core.reset)(keys, curr)
             else:
                 state, obs = jax.vmap(self.core.reset)(keys)
-            state = jax.vmap(attach_goal_img)(state)
+            state = attach_goal_imgs(state)
             return state, unpad(add_images(state, obs))
 
         def step_fn(state, action):

@@ -159,6 +159,12 @@ class Learner:
 
     def _obs_of(self, env_state):
         core = self.venv.core
+        n = self.venv.num_envs
+        if getattr(self.venv, '_n', n) != n:
+            # internally tile-padded batch (vec_env.py): act/learn on the
+            # visible rows only — venv._step re-pads actions itself and
+            # returns unpadded outputs
+            env_state = jax.tree_util.tree_map(lambda x: x[:n], env_state)
         if self.cfg.family == 'single_step':
             return jax.vmap(core._get_obs)(env_state)
         return jax.vmap(lambda s: core._get_obs(s)[0])(env_state)
