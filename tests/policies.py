@@ -250,17 +250,30 @@ class StackExpert(EEController):
     def _pick_place(self, grip, closeness, block, tgt):
         d_xy = np.linalg.norm(grip[:2] - block[:2])
         d3 = np.linalg.norm(grip - block)
-        at_tgt = np.linalg.norm(block - tgt) < 0.012
-        holding = closeness < 0.038 and d3 < 0.02
+        # success is || concat(ag) - concat(dg) || < 0.05 over ALL blocks
+        # (multi_step.py reward kernel): ~2 cm per block suffices, and
+        # re-picking an already-close block risks knocking it off the tower
+        at_tgt = np.linalg.norm(block - tgt) < 0.02
+        # a held 3 cm block reads closeness ~ 0.029-0.037 (jaws on its faces)
+        # and can ride up to ~3 cm off the gripper frame; closeness ~ 0 means
+        # the jaws closed on air. Mis-classifying a held block as "approach"
+        # would command an open gripper and drop it (CPU-vs-TPU numerics put
+        # borderline grasps at d3 ~ 0.021)
+        holding = 0.015 < closeness < 0.038 and d3 < 0.032
         if at_tgt:
             if grip[2] < block[2] + 0.08:
                 return np.array([0.0, 0.0, 1.0]), -1.0
             return np.zeros(3), -1.0
         if holding:
-            above = tgt + [0.0, 0.0, 0.06]
-            if np.linalg.norm(grip[:2] - tgt[:2]) > 0.01:
-                return _goto(above, grip), 1.0
-            return _goto(tgt, grip, 20), 1.0
+            # aim the HELD BLOCK at the target: offset the gripper goal by
+            # the in-jaw block offset, else the block lands > at_tgt away
+            aim = tgt + (grip - block)
+            if np.linalg.norm(block[:2] - tgt[:2]) > 0.01:
+                return _goto(aim + [0.0, 0.0, 0.06], grip), 1.0
+            return _goto(aim, grip, 20), 1.0
+        if closeness < 0.012 and d3 < 0.06:
+            # closed on air next to the block: lift open and re-approach
+            return np.array([0.0, 0.0, 0.6]), -1.0
         if d_xy > 0.01 or grip[2] < block[2] - 0.01:
             return _goto(block + [0.0, 0.0, 0.06], grip, 30), -1.0
         if closeness > 0.045 and d3 > 0.012:
@@ -274,7 +287,7 @@ class StackExpert(EEController):
         dg = obs['desired_goal'].reshape(self.nb, 3)
         a, g = np.zeros(3), -1.0
         for i in np.argsort(dg[:, 2]):          # bottom level first
-            if np.linalg.norm(ag[i] - dg[i]) > 0.012:
+            if np.linalg.norm(ag[i] - dg[i]) > 0.02:    # match at_tgt bar
                 a, g = self._pick_place(grip, closeness, ag[i], dg[i])
                 break
         return np.concatenate([a, [g]]).astype(np.float32)

@@ -24,12 +24,10 @@ import jax
 # the TPU-tunnel sitecustomize sets jax_platforms programmatically, so the
 # env var alone is not enough — override the config after import
 jax.config.update('jax_platforms', 'cpu')
-# subprocesses bypass conftest.py: wire up the same persistent compile
-# cache so re-runs skip the (minutes-long) cold CPU compiles
-jax.config.update('jax_compilation_cache_dir',
-                  os.environ.get('JAX_COMPILATION_CACHE_DIR',
-                                 os.path.expanduser('~/.jax_cache')))
-jax.config.update('jax_persistent_cache_min_compile_time_secs', 5.0)
+# subprocesses bypass conftest.py: importing it wires up the same
+# host-ISA-keyed persistent compile cache so re-runs skip the
+# (minutes-long) cold CPU compiles without risking a stale-host cache
+import tests.conftest  # noqa: F401
 '''
 
 
