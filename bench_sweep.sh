@@ -16,5 +16,7 @@ run --task chest_push --num-block 4 --num-envs 1024
 run --task chest_push --num-block 2 --num-envs 1024
 run --task insertion --num-envs 1024
 run --task primitive_push_reach --num-envs 1024
-run --task push --num-envs 1024 --image 84
-run --task push --num-envs 1024 --image 128
+# image configs: the ray-caster's per-pixel intermediates OOM HBM above
+# ~512 envs/chip (16.1G > 15.75G at 1024) — bench the largest fitting batch
+run --task push --num-envs 512 --image 84
+run --task push --num-envs 256 --image 128
