@@ -20,6 +20,9 @@ from pybullet_multigoal_gym_tpu.utils import spaces
 
 F32 = jnp.float32
 
+# env-rows per sequential render chunk (see render_map in VecMGEnv)
+_IMG_CHUNK = 256
+
 
 def _make_core(cfg: EnvConfig):
     fam = cfg.family
@@ -89,6 +92,22 @@ class VecMGEnv:
             from pybullet_multigoal_gym_tpu.render.pipeline import RenderPipeline
             self.pipeline = RenderPipeline(self.core)
 
+        def render_map(f, tree):
+            # Batched render with bounded memory: the ray-caster's live
+            # temporaries are O(prims * pixels) per env (~3-4 MB), so a
+            # whole-batch vmap OOMs HBM above ~512 envs/chip at 84 px.
+            # lax.map over 256-env chunks serialises the render (physics
+            # stays fully batched) and caps the peak at one chunk.
+            rows = jax.tree_util.tree_leaves(tree)[0].shape[0]
+            if rows <= _IMG_CHUNK or rows % _IMG_CHUNK != 0:
+                return jax.vmap(f)(tree)
+            chunked = jax.tree_util.tree_map(
+                lambda x: x.reshape((rows // _IMG_CHUNK, _IMG_CHUNK)
+                                    + x.shape[1:]), tree)
+            out = jax.lax.map(lambda t: jax.vmap(f)(t), chunked)
+            return jax.tree_util.tree_map(
+                lambda x: x.reshape((rows,) + x.shape[2:]), out)
+
         def add_images(state, obs):
             if self.pipeline is None:
                 return obs
@@ -96,7 +115,7 @@ class VecMGEnv:
             obs['state'] = obs['observation']
             # images never feed back into the (possibly padded) state —
             # render only the user-visible rows
-            img = jax.vmap(self.pipeline.image_obs)(unpad(state))
+            img = render_map(self.pipeline.image_obs, unpad(state))
             obs.update(img)
             return obs
 
@@ -121,7 +140,7 @@ class VecMGEnv:
                 return state
             # render only the visible rows; padding rows carry a repeat of
             # row 0 (their images are never observed)
-            imgs = jax.vmap(self.pipeline.goal_image)(unpad(state))
+            imgs = render_map(self.pipeline.goal_image, unpad(state))
             return state._replace(desired_goal_img=pad_rows(imgs))
 
         def unpad(tree):
@@ -265,5 +284,10 @@ def make_vec_env(num_envs: int = 1, **kwargs) -> VecMGEnv:
     cfg_fields = {f for f in EnvConfig.__dataclass_fields__}
     cfg_kwargs = {k: v for k, v in kwargs.items() if k in cfg_fields}
     rest = {k: v for k, v in kwargs.items() if k not in cfg_fields}
+    # accept the reference's list-of-dicts camera format like make_env does
+    # (EnvConfig itself stores the frozen hashable tuple form)
+    cs = cfg_kwargs.get('camera_setup')
+    if cs is not None and not isinstance(cs, tuple):
+        cfg_kwargs['camera_setup'] = EnvConfig.freeze_camera_setup(cs)
     cfg = EnvConfig(**cfg_kwargs)
     return VecMGEnv(cfg, num_envs=num_envs, **rest)

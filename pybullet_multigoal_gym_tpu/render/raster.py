@@ -96,6 +96,7 @@ def _ray_cylinder(o, d, r, hl):
 def _ray_capsule(o, d, r, hl):
     """Capsule along local z: cylinder side + two sphere caps."""
     t_cyl, n_cyl = _ray_cylinder(o, d, r, hl)
+    hl = jnp.asarray(hl)[..., None]     # broadcast per-ray hl over xyz
     t1, n1 = _ray_sphere(o - jnp.array([0.0, 0, 1]) * hl, d, r)
     t2, n2 = _ray_sphere(o + jnp.array([0.0, 0, 1]) * hl, d, r)
     t = jnp.minimum(t_cyl, jnp.minimum(t1, t2))
@@ -117,7 +118,13 @@ def trace(prims: Prims, origins, dirs):
     them from literals), so when `prims.kind` is a concrete array the trace
     groups primitives by kind and runs exactly ONE intersector per group —
     the dynamic jnp.select path (all four intersectors for every primitive,
-    4x the ray math) is only the fallback for traced kinds."""
+    4x the ray math) is only the fallback for traced kinds.
+
+    The static path computes per-prim DEPTHS only (ts: (P, ...)) and
+    re-derives the surface normal for just the argmin-winning primitive of
+    each pixel afterwards: materialising every prim's normal field
+    ((P, ..., 3) — 3x the depth buffer, the largest live render buffer)
+    loses to one extra 4-way intersector eval per pixel for any P > ~4."""
     kinds_np = None
     if not isinstance(prims.kind, jax.core.Tracer):
         kinds_np = np.asarray(prims.kind)
@@ -127,9 +134,25 @@ def trace(prims: Prims, origins, dirs):
         d = quatm.rotate_inv(rot, dirs)
         return o, d
 
+    def winner_normal(idx):
+        # recompute the hit normal for each pixel's winning primitive via
+        # the dynamic 4-way intersector on the gathered prim params
+        wkind, wpos = prims.kind[idx], prims.pos[idx]
+        wrot, wsize = prims.rot[idx], prims.size[idx]
+        o = quatm.rotate_inv(wrot, origins - wpos)
+        d = quatm.rotate_inv(wrot, dirs)
+        _, n_s = _ray_sphere(o, d, wsize[..., 0])
+        _, n_b = _ray_box(o, d, wsize)
+        _, n_c = _ray_cylinder(o, d, wsize[..., 0], wsize[..., 1])
+        _, n_p = _ray_capsule(o, d, wsize[..., 0], wsize[..., 1])
+        n = jnp.select([(wkind == SPHERE)[..., None],
+                        (wkind == BOX)[..., None],
+                        (wkind == CYLINDER)[..., None]],
+                       [n_s, n_b, n_c], n_p)
+        return quatm.rotate(wrot, n)
+
     if kinds_np is not None:
-        P = len(kinds_np)
-        ts_parts, ns_parts, order = [], [], []
+        ts_parts, order = [], []
         intersect = {
             SPHERE: lambda o, d, s: _ray_sphere(o, d, s[0]),
             BOX: lambda o, d, s: _ray_box(o, d, s),
@@ -144,18 +167,15 @@ def trace(prims: Prims, origins, dirs):
 
             def per_prim(pos, rot, size, visible, _k=kind):
                 o, d = local_ray(pos, rot)
-                t, n = intersect[_k](o, d, size)
-                t = jnp.where(visible, t, _BIG)
-                return t, quatm.rotate(rot, n)
+                t, _ = intersect[_k](o, d, size)
+                return jnp.where(visible, t, _BIG)
 
-            t_g, n_g = jax.vmap(per_prim, in_axes=(0, 0, 0, 0))(
+            ts_parts.append(jax.vmap(per_prim, in_axes=(0, 0, 0, 0))(
                 prims.pos[sel], prims.rot[sel], prims.size[sel],
-                prims.visible[sel])
-            ts_parts.append(t_g)
-            ns_parts.append(n_g)
+                prims.visible[sel]))
         inv_order = np.argsort(np.asarray(order))
         ts = jnp.concatenate(ts_parts, axis=0)[inv_order]
-        ns = jnp.concatenate(ns_parts, axis=0)[inv_order]
+        ns = None
     else:
         def per_prim(kind, pos, rot, size, visible):
             o, d = local_ray(pos, rot)
@@ -175,11 +195,15 @@ def trace(prims: Prims, origins, dirs):
         ts, ns = jax.vmap(per_prim, in_axes=(0, 0, 0, 0, 0),
                           out_axes=(0, 0))(prims.kind, prims.pos, prims.rot,
                                            prims.size, prims.visible)
-    # ts: (P, ...), ns: (P, ..., 3)
+    # ts: (P, ...); ns: (P, ..., 3) on the dynamic path, None on the static
+    # path (normals recomputed for the winner only)
     idx = jnp.argmin(ts, axis=0)
     tmin = jnp.min(ts, axis=0)
     hit = tmin < _BIG * 0.5
-    n = jnp.take_along_axis(ns, idx[None, ..., None], axis=0)[0]
+    if ns is None:
+        n = winner_normal(idx)
+    else:
+        n = jnp.take_along_axis(ns, idx[None, ..., None], axis=0)[0]
     n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-9)
     base = prims.color[idx]
     lambert = jnp.maximum(jnp.sum(n * jnp.asarray(_LIGHT_DIR, n.dtype), -1), 0.0)

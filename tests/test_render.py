@@ -116,3 +116,35 @@ def test_auto_reset_cond_skips_and_fires():
     st, _, _, d, _ = env.step(st, a)
     assert not bool(np.asarray(d).any())
     assert int(np.asarray(st.steps).min()) == 1
+
+
+def test_chunked_render_matches_vmap(monkeypatch):
+    """render_map (lax.map over 256-env chunks, the HBM-bounded image path
+    for large batches) must produce bitwise-identical images to a plain
+    whole-batch vmap."""
+    from pybullet_multigoal_gym_tpu.config import EnvConfig
+    from pybullet_multigoal_gym_tpu.envs import vec_env as V
+
+    cfg = EnvConfig(task='push', image_observation=True, goal_image=True,
+                    depth_image=True, render_width=16, render_height=16,
+                    max_episode_steps=10)
+    key = jax.random.PRNGKey(0)
+    act = jnp.zeros((8, 4), jnp.float32)
+
+    monkeypatch.setattr(V, '_IMG_CHUNK', 4)       # 8 envs -> 2 chunks
+    env = V.VecMGEnv(cfg, num_envs=8, use_pallas=False)
+    _, o_reset = env._reset(key)
+    s, _ = env._reset(key)
+    _, o_chunk, _, _, _ = env._step(s, act)
+
+    monkeypatch.setattr(V, '_IMG_CHUNK', 1 << 30)  # plain vmap
+    env2 = V.VecMGEnv(cfg, num_envs=8, use_pallas=False)
+    s2, _ = env2._reset(key)
+    _, o_vmap, _, _, _ = env2._step(s2, act)
+
+    for k in ('images', 'achieved_goal_img', 'desired_goal_img'):
+        a, b = np.asarray(o_chunk[k]), np.asarray(o_vmap[k])
+        assert a.shape == b.shape and np.array_equal(a, b), k
+    # non-image obs only differ by XLA scheduling noise between programs
+    np.testing.assert_allclose(np.asarray(o_chunk['observation']),
+                               np.asarray(o_vmap['observation']), atol=1e-5)
